@@ -1,0 +1,391 @@
+"""Hash-to-curve (RFC 9380) host implementation.
+
+Components:
+  * expand_message_xmd  — RFC 9380 §5.3.1 (SHA-256 for the standard suites,
+    BLAKE2b-512 for the legacy BBS+ variant; cf. driver/kilic/custom.go:258-310)
+  * hash_to_field       — §5.2, L = ceil((log2(p) + 128) / 8)
+  * map_to_curve:
+      - SVDW (§6.6.1) generic over Fp/Fp2 — used for BN254 (gnark does the
+        same; BN curves admit no small-degree SSWU isogeny)
+      - SSWU (§6.6.2) + isogeny — used for the BLS12 curves; the isogeny
+        coefficients are derived computationally (tools/derive_isogeny.py)
+        into curves/isogeny_data.py
+  * the BBS+ big-endian-sign SSWU variant (driver/kilic/custom.go:134-237):
+    BLAKE2b-512 XMD, from64Bytes embedding, sign fixed by "y >= -y" instead
+    of parity, isogeny applied after adding the two mapped points.
+
+Until the isogeny derivation lands for a curve, BLS hash-to-curve falls back
+to SVDW (valid and uniform, but not byte-compatible with RFC SSWU suites);
+`is_rfc_compatible()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+from typing import Callable, List, Optional, Tuple
+
+from ..curves.params import CurveSpec, Family
+from .curve import FieldOps, Point, WeierstrassCurve
+from .engine import HostEngine
+
+
+# ---------------------------------------------------------------------------
+# expand_message_xmd
+# ---------------------------------------------------------------------------
+
+
+def expand_message_xmd(
+    msg: bytes, dst: bytes, out_len: int, hash_name: str = "sha256"
+) -> bytes:
+    if hash_name == "sha256":
+        new = hashlib.sha256
+        b_in_bytes, r_in_bytes = 32, 64
+    elif hash_name == "blake2b512":
+        new = lambda d=b"": hashlib.blake2b(d, digest_size=64)  # noqa: E731
+        b_in_bytes, r_in_bytes = 64, 128
+    else:
+        raise ValueError(hash_name)
+    if len(dst) > 255:
+        raise ValueError("dst too long")
+    if out_len > 65535:
+        raise ValueError("out_len too large")
+    ell = (out_len + b_in_bytes - 1) // b_in_bytes
+    if ell > 255:
+        raise ValueError("out_len too large")
+    dst_prime = dst + bytes([len(dst)])
+    z_pad = bytes(r_in_bytes)
+    l_i_b = out_len.to_bytes(2, "big")
+    b0 = new(z_pad + msg + l_i_b + b"\x00" + dst_prime).digest()
+    b1 = new(b0 + b"\x01" + dst_prime).digest()
+    bs = [b1]
+    for i in range(2, ell + 1):
+        prev = bs[-1]
+        xored = bytes(a ^ b for a, b in zip(b0, prev))
+        bs.append(new(xored + bytes([i]) + dst_prime).digest())
+    return b"".join(bs)[:out_len]
+
+
+# ---------------------------------------------------------------------------
+# hash_to_field
+# ---------------------------------------------------------------------------
+
+
+def hash_to_field_fp(
+    msg: bytes, dst: bytes, p: int, count: int, L: int = 64, hash_name: str = "sha256"
+) -> List[int]:
+    uniform = expand_message_xmd(msg, dst, count * L, hash_name)
+    return [
+        int.from_bytes(uniform[i * L : (i + 1) * L], "big") % p for i in range(count)
+    ]
+
+
+def hash_to_field_fp2(
+    msg: bytes, dst: bytes, p: int, count: int, L: int = 64, hash_name: str = "sha256"
+) -> List[Tuple[int, int]]:
+    uniform = expand_message_xmd(msg, dst, count * 2 * L, hash_name)
+    out = []
+    for i in range(count):
+        base = i * 2 * L
+        c0 = int.from_bytes(uniform[base : base + L], "big") % p
+        c1 = int.from_bytes(uniform[base + L : base + 2 * L], "big") % p
+        out.append((c0, c1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SVDW (Shallue–van de Woestijne) — RFC 9380 §6.6.1, generic over the field
+# ---------------------------------------------------------------------------
+
+
+class SvdwMap:
+    """map_to_curve_svdw for y^2 = x^3 + b (a=0) over an abstract field."""
+
+    def __init__(self, F: FieldOps, b, sqrt: Callable, sgn0: Callable, is_square):
+        self.F = F
+        self.b = b
+        self.sqrt = sqrt
+        self.sgn0 = sgn0
+        self.is_square = is_square
+        self.Z = self._find_z()
+        self._precompute()
+
+    def _g(self, x):
+        F = self.F
+        return F.add(F.mul(F.mul(x, x), x), self.b)
+
+    def _find_z(self):
+        """find_z_svdw per the RFC reference procedure."""
+        F = self.F
+        ctr = 1
+        while True:
+            for z_cand in (F.from_int(ctr), F.neg(F.from_int(ctr))):
+                gz = self._g(z_cand)
+                if F.is_zero(gz):
+                    continue
+                # -(3Z^2 + 4A)/(4 g(Z)); A = 0
+                t = F.mul(F.from_int(3), F.mul(z_cand, z_cand))
+                h = F.mul(F.neg(t), F.inv(F.mul(F.from_int(4), gz)))
+                if F.is_zero(h) or not self.is_square(h):
+                    continue
+                gz2 = self._g(F.neg(F.mul(z_cand, F.inv(F.from_int(2)))))
+                if self.is_square(gz) or self.is_square(gz2):
+                    return z_cand
+            ctr += 1
+
+    def _precompute(self):
+        F, Z = self.F, self.Z
+        gZ = self._g(Z)
+        self.c1 = gZ
+        self.c2 = F.neg(F.mul(Z, F.inv(F.from_int(2))))
+        t = F.mul(F.mul(F.from_int(3), F.mul(Z, Z)), F.neg(F.from_int(1)))
+        # c3 = sqrt(-g(Z) * (3 Z^2 + 4 A)); sign: sgn0(c3) == 0
+        val = F.mul(F.neg(gZ), F.mul(F.from_int(3), F.mul(Z, Z)))
+        c3 = self.sqrt(val)
+        if c3 is None:
+            raise ValueError("svdw precompute failed")
+        if self.sgn0(c3) == 1:
+            c3 = F.neg(c3)
+        self.c3 = c3
+        # c4 = -4 g(Z) / (3 Z^2 + 4 A)
+        self.c4 = F.mul(
+            F.neg(F.mul(F.from_int(4), gZ)),
+            F.inv(F.mul(F.from_int(3), F.mul(Z, Z))),
+        )
+
+    def map(self, u):
+        F = self.F
+        c1, c2, c3, c4, Z = self.c1, self.c2, self.c3, self.c4, self.Z
+        tv1 = F.mul(F.mul(u, u), c1)
+        tv2 = F.add(F.from_int(1), tv1)
+        tv1 = F.sub(F.from_int(1), tv1)
+        tv3 = F.mul(tv1, tv2)
+        tv3 = F.inv(tv3) if not F.is_zero(tv3) else F.from_int(0)
+        tv4 = F.mul(u, tv1)
+        tv4 = F.mul(tv4, tv3)
+        tv4 = F.mul(tv4, c3)
+        x1 = F.sub(c2, tv4)
+        gx1 = self._g(x1)
+        e1 = self.is_square(gx1)
+        x2 = F.add(c2, tv4)
+        gx2 = self._g(x2)
+        e2 = self.is_square(gx2) and not e1
+        x3 = F.mul(tv2, tv2)
+        x3 = F.mul(x3, tv3)
+        x3 = F.mul(x3, x3)
+        x3 = F.mul(x3, c4)
+        x3 = F.add(x3, Z)
+        x = x1 if e1 else (x2 if e2 else x3)
+        gx = self._g(x)
+        y = self.sqrt(gx)
+        assert y is not None
+        if self.sgn0(u) != self.sgn0(y):
+            y = F.neg(y)
+        return (x, y)
+
+
+# ---------------------------------------------------------------------------
+# SSWU — RFC 9380 §6.6.2 (requires isogeny data; see tools/derive_isogeny.py)
+# ---------------------------------------------------------------------------
+
+
+class SswuMap:
+    """map_to_curve_simple_swu onto the isogenous curve E': y^2=x^3+A'x+B'."""
+
+    def __init__(self, F: FieldOps, A, B, Z, sqrt, sgn0, is_square):
+        self.F, self.A, self.B, self.Z = F, A, B, Z
+        self.sqrt, self.sgn0, self.is_square = sqrt, sgn0, is_square
+
+    def map(self, u):
+        F, A, B, Z = self.F, self.A, self.B, self.Z
+        tv1 = F.mul(Z, F.mul(u, u))
+        tv2 = F.add(F.mul(tv1, tv1), tv1)
+        # x1 = (-B/A) * (1 + 1/(Z^2 u^4 + Z u^2)); if denom zero: B/(Z*A)
+        if F.is_zero(tv2):
+            x1 = F.mul(B, F.inv(F.mul(Z, A)))
+        else:
+            x1 = F.mul(
+                F.mul(F.neg(B), F.inv(A)), F.add(F.from_int(1), F.inv(tv2))
+            )
+        gx1 = F.add(F.mul(F.add(F.mul(x1, x1), A), x1), B)
+        x2 = F.mul(tv1, x1)
+        gx2 = F.mul(F.mul(gx1, tv1), F.mul(tv1, F.mul(u, u)))  # g(x2)=g(x1)*Z^3*u^6
+        if self.is_square(gx1):
+            x, y = x1, self.sqrt(gx1)
+        else:
+            x, y = x2, self.sqrt(gx2)
+        assert y is not None
+        if self.sgn0(u) != self.sgn0(y):
+            y = F.neg(y)
+        return (x, y)
+
+
+def apply_isogeny(F: FieldOps, iso, P: Point) -> Point:
+    """Evaluate a rational isogeny map given coefficient lists
+    (x_num, x_den, y_num, y_den), each low-degree-first."""
+    if P is None:
+        return None
+    x, y = P
+    x_num, x_den, y_num, y_den = iso
+
+    def horner(coeffs):
+        acc = F.from_int(0)
+        for c in reversed(coeffs):
+            acc = F.add(F.mul(acc, x), c)
+        return acc
+
+    xn, xd, yn, yd = horner(x_num), horner(x_den), horner(y_num), horner(y_den)
+    if F.is_zero(xd) or F.is_zero(yd):
+        return None  # input was in the isogeny kernel
+    return (F.mul(xn, F.inv(xd)), F.mul(y, F.mul(yn, F.inv(yd))))
+
+
+# ---------------------------------------------------------------------------
+# per-curve dispatcher
+# ---------------------------------------------------------------------------
+
+
+class Hasher:
+    """hash_to_curve for one CurveSpec: G1 and G2, RFC + BBS variants."""
+
+    def __init__(self, spec: CurveSpec, engine: HostEngine):
+        self.spec = spec
+        self.e = engine
+        t = engine.tw
+        p = spec.p
+
+        self._sgn0_fp = lambda y: y & 1
+        self._sgn0_fp2 = lambda y: (y[0] & 1) if y[0] != 0 else (y[1] & 1)
+        self._is_sq_fp = lambda a: a % p == 0 or pow(a % p, (p - 1) // 2, p) == 1
+        self._is_sq_fp2 = lambda a: t.f2_is_zero(a) or t.f2_sqrt(a) is not None
+
+        self._g1_sswu = self._build_sswu_g1()
+        self._g2_sswu = self._build_sswu_g2()
+        if self._g1_sswu is None:
+            self._g1_svdw = SvdwMap(
+                engine.fp_ops, spec.b % p, t.fp_sqrt, self._sgn0_fp, self._is_sq_fp
+            )
+        if self._g2_sswu is None:
+            self._g2_svdw = SvdwMap(
+                engine.f2_ops, spec.b2, t.f2_sqrt, self._sgn0_fp2, self._is_sq_fp2
+            )
+
+    # -- isogeny-based SSWU construction (returns None if data missing) ------
+    def _build_sswu_g1(self):
+        from ..curves import isogeny_data as iso
+
+        d = iso.G1.get(self.spec.name)
+        if d is None:
+            return None
+        F = self.e.fp_ops
+        m = SswuMap(
+            F, d["A"], d["B"], d["Z"], self.e.tw.fp_sqrt, self._sgn0_fp, self._is_sq_fp
+        )
+        return (m, d["iso"])
+
+    def _build_sswu_g2(self):
+        from ..curves import isogeny_data as iso
+
+        d = iso.G2.get(self.spec.name)
+        if d is None:
+            return None
+        F = self.e.f2_ops
+        m = SswuMap(
+            F, d["A"], d["B"], d["Z"], self.e.tw.f2_sqrt, self._sgn0_fp2, self._is_sq_fp2
+        )
+        return (m, d["iso"])
+
+    def is_rfc_compatible(self, group: str) -> bool:
+        if self.spec.family == Family.BN:
+            return True  # SVDW is what gnark uses for BN254
+        return (self._g1_sswu if group == "g1" else self._g2_sswu) is not None
+
+    # -- public entry points ---------------------------------------------------
+    def hash_to_g1(self, msg: bytes, dst: bytes) -> Point:
+        L = 64 if self.spec.fp_bytes == 48 else 48
+        us = hash_to_field_fp(msg, dst, self.spec.p, 2, L)
+        if self._g1_sswu is not None:
+            m, isod = self._g1_sswu
+            q0 = m.map(us[0])
+            q1 = m.map(us[1])
+            # add on E' (homomorphic through the isogeny), then map once
+            Ep = WeierstrassCurve(self.e.fp_ops, m.A, m.B)
+            P = apply_isogeny(self.e.fp_ops, isod, Ep.add(q0, q1))
+        else:
+            P = self.e.g1.add(self._g1_svdw.map(us[0]), self._g1_svdw.map(us[1]))
+        return self._clear_cofactor_g1(P)
+
+    def hash_to_g2(self, msg: bytes, dst: bytes) -> Point:
+        L = 64 if self.spec.fp_bytes == 48 else 48
+        us = hash_to_field_fp2(msg, dst, self.spec.p, 2, L)
+        if self._g2_sswu is not None:
+            m, isod = self._g2_sswu
+            Ep = WeierstrassCurve(self.e.f2_ops, m.A, m.B)
+            P = apply_isogeny(self.e.f2_ops, isod, Ep.add(m.map(us[0]), m.map(us[1])))
+        else:
+            P = self.e.g2.add(self._g2_svdw.map(us[0]), self._g2_svdw.map(us[1]))
+        return self._clear_cofactor_g2(P)
+
+    def _clear_cofactor_g1(self, P: Point) -> Point:
+        if self.spec.family == Family.BLS12:
+            # effective cofactor 1-x (kilic/gnark use this, not h1)
+            return self.e.g1.mul(P, 1 - self.spec.x)
+        return P  # BN: cofactor 1
+
+    def _clear_cofactor_g2(self, P: Point) -> Point:
+        return self.e.g2.mul(P, self.spec.h2)
+
+    # -- BBS+ legacy big-endian SSWU (kilic/custom.go:134-237) -----------------
+    def hash_to_g1_bbs(self, msg: bytes, dst: bytes) -> Point:
+        if self._g1_sswu is None:
+            # fall back to the RFC-incompatible SVDW path until isogeny lands
+            us = hash_to_field_fp(msg, dst, self.spec.p, 2, 64, "blake2b512")
+            P = self.e.g1.add(self._g1_svdw.map(us[0]), self._g1_svdw.map(us[1]))
+            return self._clear_cofactor_g1(P)
+        m, isod = self._g1_sswu
+        p = self.spec.p
+        # from64Bytes: e1 + e0*2^256 (two 32-byte halves; kilic/custom.go:312-342)
+        uniform = expand_message_xmd(msg, dst, 128, "blake2b512")
+        us = []
+        for i in range(2):
+            chunk = uniform[i * 64 : (i + 1) * 64]
+            e0 = int.from_bytes(chunk[:32], "big")
+            e1 = int.from_bytes(chunk[32:], "big")
+            us.append((e1 + e0 * (1 << 256)) % p)
+
+        def map_be(u):
+            x, y = self._sswu_no_sign(m, u)
+            # big-endian sign: negate unless sign(y) == sign(u), where
+            # sign_BE(z) = (-z >= z) i.e. z <= p/2 (kilic/custom.go:99-105)
+            sign_be = lambda z: (p - z) % p >= z  # noqa: E731
+            if sign_be(y) != sign_be(u):
+                y = p - y
+            return (x, y)
+
+        q0, q1 = map_be(us[0]), map_be(us[1])
+        Ep = WeierstrassCurve(self.e.fp_ops, m.A, m.B)
+        P = apply_isogeny(self.e.fp_ops, isod, Ep.add(q0, q1))
+        return self._clear_cofactor_g1(P)
+
+    def _sswu_no_sign(self, m: SswuMap, u):
+        """SSWU x/y computation without the sign fix (BBS applies its own)."""
+        F = m.F
+        tv1 = F.mul(m.Z, F.mul(u, u))
+        tv2 = F.add(F.mul(tv1, tv1), tv1)
+        if F.is_zero(tv2):
+            x1 = F.mul(m.B, F.inv(F.mul(m.Z, m.A)))
+        else:
+            x1 = F.mul(F.mul(F.neg(m.B), F.inv(m.A)), F.add(F.from_int(1), F.inv(tv2)))
+        gx1 = F.add(F.mul(F.add(F.mul(x1, x1), m.A), x1), m.B)
+        if m.is_square(gx1):
+            return x1, m.sqrt(gx1)
+        x2 = F.mul(tv1, x1)
+        gx2 = F.mul(F.mul(gx1, tv1), F.mul(tv1, F.mul(u, u)))
+        return x2, m.sqrt(gx2)
+
+
+@lru_cache(maxsize=None)
+def get_hasher(spec: CurveSpec) -> Hasher:
+    from .engine import get_engine
+
+    return Hasher(spec, get_engine(spec))

@@ -1,0 +1,557 @@
+"""Port of the reference test suite (math_test.go) against the compat API.
+
+Each function mirrors the corresponding Go test (cited); the full sweep runs
+over all 8 CurveIDs exactly like TestCurves (math_test.go:852-877)."""
+
+import json
+import math
+import random
+
+import pytest
+
+from mathlib_tpu.api import CurveID, Curves, Zr
+
+MAXINT64 = 2**63 - 1
+MAXUINT64 = 2**64 - 1
+
+ALL_IDS = list(CurveID)
+
+
+@pytest.fixture(params=ALL_IDS, ids=[c.name for c in ALL_IDS])
+def curve(request):
+    return Curves[request.param]
+
+
+@pytest.fixture
+def crng():
+    return random.Random(20260816)
+
+
+# -- expected pins (math_test.go:250-270) -----------------------------------
+
+EXPECTED_G1_GENS = [
+    "(1,2)",
+    "(1,2)",
+    "(1,2)",
+    "(3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569)",
+    "(81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030)",
+    "(3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569)",
+    "(3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569)",
+    "(3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569)",
+]
+
+EXPECTED_MODULI = [
+    "fffffffffffcf0cd46e5f25eee71a49e0cdc65fb1299921af62d536cd10b500d",
+    "30644e72e131a029b85045b68181585d2833e84879b9709143e1f593f0000001",
+    "fffffffffffcf0cd46e5f25eee71a49e0cdc65fb1299921af62d536cd10b500d",
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001",
+    "12ab655e9a2ca55660b44d1e5c37b00159aa76fed00000010a11800000000001",
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001",
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001",
+    "73eda753299d7d483339d80809a1d80553bda402fffe5bfeffffffff00000001",
+]
+
+
+def test_curve_id(curve, crng):
+    r = curve.NewRandomZr(crng)
+    assert r.CurveID() == curve.ID()
+    assert curve.GenG1.Mul(r).CurveID() == curve.ID()
+    assert curve.GenG2.Mul(r).CurveID() == curve.ID()
+    assert curve.GenGt.Exp(r).CurveID() == curve.ID()
+
+
+def test_zr(curve, crng):
+    """runZrTest (math_test.go:132-248)."""
+    c = curve
+    maxint64 = c.NewZrFromInt(MAXINT64)
+    assert maxint64.Equals(c.NewZrFromBigInt(MAXINT64))
+    assert maxint64.BigInt() == MAXINT64
+    maxuint64 = c.NewZrFromUint64(MAXUINT64)
+    assert maxint64.Uint() == MAXINT64
+    assert maxint64.Int() == MAXINT64
+    assert maxuint64.Int() == -1
+    assert maxuint64.Uint() == MAXUINT64
+
+    a, b = crng.getrandbits(62), crng.getrandbits(62)
+    assert c.NewZrFromInt(a).Plus(c.NewZrFromInt(b)).Int() == a + b
+
+    assert str(maxint64) == format(MAXINT64, "x")
+    assert str(maxuint64) == format(MAXUINT64, "x")
+
+    # negative serialization round-trip sums to zero (math_test.go:175-182)
+    rr = c.NewRandomZr(crng)
+    rr1 = rr.Copy()
+    rr1.Neg()
+    rr11 = c.NewZrFromBytes(rr1.Bytes())
+    assert c.ModAdd(rr, rr11, c.GroupOrder).Equals(c.NewZrFromInt(0))
+
+    assert c.NewZrFromInt(35).Plus(c.NewZrFromInt(1)).Equals(c.NewZrFromInt(36))
+    i = c.NewZrFromInt(5)
+    i.Mod(c.NewZrFromInt(3))
+    assert i.Equals(c.NewZrFromInt(2))
+    i = c.NewZrFromInt(3)
+    i.InvModP(c.NewZrFromInt(11))
+    assert i.Equals(c.NewZrFromInt(4))
+    assert str(c.NewZrFromInt(35)) == "23"
+
+    i64 = crng.getrandbits(62)
+    assert c.NewZrFromInt(i64).Int() == i64
+    i3 = c.NewZrFromInt(i64).Plus(c.NewZrFromInt(-i64))
+    i3.Mod(c.GroupOrder)
+    assert i3.Equals(c.NewZrFromInt(0))
+
+    # out of range after big additions (math_test.go:206-210)
+    i = c.NewZrFromInt(MAXINT64).Plus(c.NewZrFromInt(MAXINT64)).Plus(c.NewZrFromInt(2))
+    with pytest.raises(ValueError, match="out of range"):
+        i.Int()
+
+    # D/H property
+    r1, r2, r3 = (c.NewRandomZr(crng) for _ in range(3))
+    assert r1.PowMod(r2).PowMod(r3).Equals(r1.PowMod(r3).PowMod(r2))
+
+    # large negatives via ModNeg / Neg / Minus
+    for mk in ("modneg", "neg", "minus"):
+        i1 = c.NewRandomZr(crng)
+        if mk == "modneg":
+            i2 = c.ModNeg(i1.Copy(), c.GroupOrder)
+        elif mk == "neg":
+            i2 = i1.Copy()
+            i2.Neg()
+        else:
+            i2 = None
+        i3 = i1.Minus(i1.Copy()) if mk == "minus" else i1.Plus(i2)
+        i3.Mod(c.GroupOrder)
+        assert i3.Equals(c.NewZrFromInt(0))
+
+    # Fermat/Euler (math_test.go:244)
+    assert r1.PowMod(c.GroupOrder.Plus(c.NewZrFromInt(-1))).Equals(c.NewZrFromInt(1))
+    assert len(r1.Bytes()) == c.ScalarByteSize
+
+
+def test_not_zero_after_add(curve):
+    i4 = (
+        curve.NewZrFromInt(MAXINT64)
+        .Plus(curve.NewZrFromInt(MAXINT64))
+        .Plus(curve.NewZrFromInt(2))
+    )
+    assert not curve.NewZrFromInt(0).Equals(i4)
+
+
+def test_mod_add_mul2(curve):
+    i1 = curve.NewZrFromInt(MAXINT64)
+    i2 = curve.NewZrFromInt(MAXINT64)
+    g1 = curve.GenG1.Mul2(i1, curve.GenG1, i2)
+    i3 = curve.ModAdd(i1, i2, curve.GroupOrder)
+    assert g1.Equals(curve.GenG1.Mul(i3))
+    g2 = curve.GenG1.Copy()
+    g2.Mul2InPlace(i1, curve.GenG1, i2)
+    assert g1.Equals(g2)
+
+
+def test_g1(curve):
+    """runG1Test (math_test.go:272-321)."""
+    c = curve
+    assert str(c.GenG1) == EXPECTED_G1_GENS[c.ID()]
+    assert str(c.GroupOrder) == EXPECTED_MODULI[c.ID()]
+
+    g1copy = c.NewG1()
+    g1copy.Clone(c.GenG1)
+    assert c.GenG1.Equals(g1copy)
+
+    g1 = c.GenG1.Mul(c.NewZrFromInt(35))
+    g2 = c.GenG1.Mul(c.NewZrFromInt(23))
+    g3 = c.GenG1.Mul(c.NewZrFromInt(58))
+    g1.Add(g2)
+    assert g1.Equals(g3)
+    assert g2.Equals(c.GenG1.Mul(c.NewZrFromInt(23)))
+    assert c.GenG1.Mul(c.NewZrFromInt(58)).Equals(
+        c.GenG1.Mul2(c.NewZrFromInt(35), c.GenG1, c.NewZrFromInt(23))
+    )
+
+    g6 = c.GenG1.Mul(c.NewZrFromInt(58))
+    g6.Sub(c.GenG1.Mul(c.NewZrFromInt(23)))
+    assert g6.Equals(c.GenG1.Mul(c.NewZrFromInt(35)))
+    assert not g6.IsInfinity()
+
+    g1copy = c.NewG1()
+    g1copy.Clone(c.GenG1)
+    g1copy.Sub(c.GenG1)
+    assert g1copy.IsInfinity()
+
+    GS = c.HashToG1(b"Amazing Grace (how sweet the sound)")
+    assert not GS.IsInfinity()
+    assert len(GS.Bytes()) == c.G1ByteSize
+
+    GS = c.HashToG1WithDomain(b"it's a heavy metal universe", b"powerplant")
+    assert not GS.IsInfinity()
+    assert len(GS.Bytes()) == c.G1ByteSize
+
+    GS1 = GS.Copy()
+    GS1.Neg()
+    GS1.Add(GS)
+    assert GS1.IsInfinity()
+    GS1.Add(c.GenG1)
+    assert GS1.Equals(c.GenG1)
+
+
+def test_g2(curve, crng):
+    """runG2Test (math_test.go:348-388)."""
+    c = curve
+    g2copy = c.NewG2()
+    g2copy.Clone(c.GenG2)
+    assert c.GenG2.Equals(g2copy)
+
+    g1 = c.GenG2.Mul(c.NewZrFromInt(35))
+    g2 = c.GenG2.Mul(c.NewZrFromInt(23))
+    g3 = c.GenG2.Mul(c.NewZrFromInt(58))
+    g1.Add(g2)
+    assert g1.Equals(g3)
+    g1.Sub(g2)
+    assert g1.Equals(c.GenG2.Mul(c.NewZrFromInt(35)))
+
+    a = c.NewRandomZr(crng)
+    p = c.GenG2.Mul(a)
+    assert len(p.Bytes()) == c.G2ByteSize
+    assert len(p.Compressed()) == c.CompressedG2ByteSize
+
+    if c.ID() not in (CurveID.FP256BN_AMCL, CurveID.FP256BN_AMCL_MIRACL):
+        GS = c.HashToG2(b"Amazing Grace (how sweet the sound)")
+        assert len(GS.Bytes()) == c.G2ByteSize
+        GS = c.HashToG2WithDomain(
+            b"it's a heavy metal universe", b"with a Heavy Metal sound"
+        )
+        assert len(GS.Bytes()) == c.G2ByteSize
+    else:
+        with pytest.raises(RuntimeError):
+            c.HashToG2(b"x")
+
+
+def test_pairing(curve, crng):
+    """runPairingTest (math_test.go:423-455)."""
+    c = curve
+    r0 = c.NewRandomZr(crng)
+    a = c.FExp(c.Pairing(c.GenG2.Mul(r0), c.GenG1))
+    b = c.FExp(c.Pairing(c.GenG2, c.GenG1.Mul(r0)))
+    assert a.Equals(b)
+
+    r1, r2, r3, r4 = (c.NewRandomZr(crng) for _ in range(4))
+    p = c.GenG2.Mul(r1)
+    q = c.GenG1.Mul(r2)
+    r = c.GenG2.Mul(r3)
+    s = c.GenG1.Mul(r4)
+    tt1 = c.FExp(c.Pairing2(p, q, r, s))
+    tt2 = c.FExp(c.Pairing(c.GenG2.Mul(r1).Mul(r2), c.GenG1))
+    tt3 = c.FExp(c.Pairing(c.GenG2, c.GenG1.Mul(r3).Mul(r4)))
+    tt2.Mul(tt3)
+    assert tt1.Equals(tt2)
+
+
+def test_pow(curve, crng):
+    """runPowTest (math_test.go:390-421)."""
+    c = curve
+    a, b = c.NewRandomZr(crng), c.NewRandomZr(crng)
+    ab = a.Mul(b)
+    gta = c.GenGt.Exp(a)
+    assert gta.Exp(b).Equals(c.GenGt.Exp(b).Exp(a))
+    gt = c.FExp(c.Pairing(c.GenG2.Mul(b), c.GenG1.Mul(a)))
+    gt1 = c.FExp(c.Pairing(c.GenG2, c.GenG1)).Exp(a).Exp(b)
+    assert gt.Equals(gt1)
+    assert c.FExp(c.Pairing(c.GenG2, c.GenG1)).Exp(ab).Equals(gt)
+
+
+def test_gt(curve):
+    """runGtTest (math_test.go:457-470)."""
+    c = curve
+    g2r = c.GenG2.Mul(c.NewZrFromInt(1541))
+    a = c.Pairing(g2r, c.GenG1)
+    ainv = c.Pairing(g2r, c.GenG1)
+    ainv.Inverse()
+    ainv.Mul(a)
+    assert ainv.IsUnity()
+    assert c.FExp(c.Pairing(c.GenG2, c.GenG1)).Equals(c.GenGt)
+
+
+def test_rnd_inv_hash(curve, crng):
+    """runRndTest + runInvModOrderTest + runHashTest (math_test.go:472-509)."""
+    c = curve
+    r = c.NewRandomZr(crng)
+    r1 = c.NewZrFromUint64(0)
+    r1.Clone(r)
+    rr = r.Copy()
+    rr.InvModP(c.GroupOrder)
+    r1.InvModOrder()
+    assert rr.Equals(r1)
+
+    r = c.NewRandomZr(crng)
+    gr = c.GenG1.Mul(r)
+    r.InvModP(c.GroupOrder)
+    assert gr.Mul(r).Equals(c.GenG1)
+
+    r = c.HashToZr(bytes(crng.getrandbits(8) for _ in range(128)))
+    gr = c.GenG1.Mul(r)
+    r.InvModP(c.GroupOrder)
+    assert gr.Mul(r).Equals(c.GenG1)
+
+
+def test_to_fro_bytes(curve, crng):
+    """runToFroBytesTest (math_test.go:511-556)."""
+    c = curve
+    r = c.NewRandomZr(crng)
+    assert c.NewZrFromBytes(r.Bytes()).Equals(r)
+
+    g1r = c.GenG1.Mul(r)
+    b = g1r.Bytes()
+    assert len(b) == c.G1ByteSize
+    g1back, err = c.NewG1FromBytes(b)
+    assert err is None
+    assert g1r.Equals(g1back)
+    assert len(g1back.Bytes()) == c.G1ByteSize
+    assert len(g1back.Compressed()) == c.CompressedG1ByteSize
+
+    g2r = c.GenG2.Mul(r)
+    b = g2r.Bytes()
+    assert len(b) == c.G2ByteSize
+    g2back, err = c.NewG2FromBytes(b)
+    assert err is None
+    assert g2r.Equals(g2back)
+
+    a = c.Pairing(g2r, c.GenG1)
+    aback, err = c.NewGtFromBytes(a.Bytes())
+    assert err is None
+    assert a.Equals(aback)
+
+    for fn in (c.NewG1FromBytes, c.NewG2FromBytes, c.NewGtFromBytes):
+        v, err = fn(None)
+        assert v is None and err is not None
+
+
+def test_to_fro_compressed(curve, crng):
+    """runToFroCompressedTest (math_test.go:558-589)."""
+    c = curve
+    r = c.NewRandomZr(crng)
+    g1r = c.GenG1.Mul(r)
+    b = g1r.Compressed()
+    assert len(b) == c.CompressedG1ByteSize
+    g1back, err = c.NewG1FromCompressed(b)
+    assert err is None
+    assert g1r.Equals(g1back)
+
+    g2r = c.GenG2.Mul(r)
+    b = g2r.Compressed()
+    assert len(b) == c.CompressedG2ByteSize
+    g2back, err = c.NewG2FromCompressed(b)
+    assert err is None
+    assert g2r.Equals(g2back)
+
+    for fn in (c.NewG1FromCompressed, c.NewG2FromCompressed):
+        v, err = fn(None)
+        assert v is None and err is not None
+
+
+def test_infinity_serialization(curve):
+    """Infinity round-trips in both encodings (beyond the Go suite)."""
+    c = curve
+    inf = c.NewG1()
+    back, err = c.NewG1FromBytes(inf.Bytes())
+    assert err is None and back.IsInfinity()
+    back, err = c.NewG1FromCompressed(inf.Compressed())
+    assert err is None and back.IsInfinity()
+    inf2 = c.NewG2()
+    back, err = c.NewG2FromBytes(inf2.Bytes())
+    assert err is None and back.point is None
+
+
+def test_mod_add_sub_neg(curve, crng):
+    """runModAddSubNegTest (math_test.go:591-633)."""
+    c = curve
+    r = c.NewRandomZr(crng)
+    minusr = c.ModNeg(r, c.GroupOrder)
+    assert c.ModAdd(r, minusr, c.GroupOrder).Equals(c.NewZrFromInt(0))
+
+    a, b = c.NewRandomZr(crng), c.NewRandomZr(crng)
+    apb = c.ModAdd(a, b, c.GroupOrder)
+    assert c.ModSub(apb, a, c.GroupOrder).Equals(b)
+
+    a2, b2 = c.NewRandomZr(crng), c.NewRandomZr(crng)
+    v = c.ModAddMul2(a, b, a2, b2, c.GroupOrder)
+    v2 = c.ModAdd(
+        c.ModMul(a, b, c.GroupOrder), c.ModMul(a2, b2, c.GroupOrder), c.GroupOrder
+    )
+    assert v.Equals(v2)
+    assert v.Equals(c.ModAddMul([a, a2], [b, b2], c.GroupOrder))
+
+    a3, b3 = c.NewRandomZr(crng), c.NewRandomZr(crng)
+    v = c.ModAddMul3(a, b, a2, b2, a3, b3, c.GroupOrder)
+    v2 = c.ModAdd(v2, c.ModMul(a3, b3, c.GroupOrder), c.GroupOrder)
+    assert v.Equals(v2)
+
+    res = c.NewZrFromInt(0)
+    c.ModMulInPlace(res, a, b, c.GroupOrder)
+    assert res.Equals(c.ModMul(a, b, c.GroupOrder))
+
+
+def test_mul(curve, crng):
+    c = curve
+    r = c.NewRandomZr(crng)
+    rinv = r.Copy()
+    rinv.InvModP(c.GroupOrder)
+    assert r.Mul(rinv).Equals(c.NewZrFromInt(1))
+    assert r.Mul(r).Mul(r).Equals(r.PowMod(c.NewZrFromInt(3)))
+
+
+def test_dh(curve, crng):
+    """runDHTestG1/G2 + runQuadDHTestPairing (math_test.go:651-720)."""
+    c = curve
+    a, b = c.NewRandomZr(crng), c.NewRandomZr(crng)
+    for gen in (c.GenG1, c.GenG2):
+        ga, gb = gen.Mul(a), gen.Mul(b)
+        assert ga.Mul(b).Equals(gb.Mul(a))
+        assert ga.Mul(b).Equals(gen.Mul(c.ModMul(a, b, c.GroupOrder)))
+
+    x, y, z, w = (c.NewRandomZr(crng) for _ in range(4))
+    gx, gy = c.GenG1.Mul(x), c.GenG1.Mul(y)
+    gz, gw = c.GenG2.Mul(z), c.GenG2.Mul(w)
+    assert gx.Mul(y).Equals(c.GenG1.Mul(y.Mul(x)))
+    assert gz.Mul(w).Equals(c.GenG2.Mul(w.Mul(z)))
+    gtwy = c.FExp(c.Pairing(gw, gy))
+    gtxyzw = gtwy.Exp(x).Exp(z)
+    xyzw = x.Mul(y).Mul(z).Mul(w)
+    gt = c.FExp(c.Pairing(c.GenG2, c.GenG1))
+    assert gtxyzw.Equals(gt.Exp(xyzw))
+
+
+def test_copy_clone(curve, crng):
+    c = curve
+    a = c.NewRandomZr(crng)
+    aclone = c.NewRandomZr(crng)
+    aclone.Clone(a)
+    assert a.Equals(aclone)
+    assert aclone.Copy().Equals(aclone)
+    g1 = c.GenG1.Mul(a)
+    g1clone = c.NewG1()
+    g1clone.Clone(g1)
+    assert g1.Equals(g1clone)
+    g2 = c.GenG2.Mul(a)
+    g2clone = c.NewG2()
+    g2clone.Clone(g2)
+    assert g2.Equals(g2clone)
+
+
+def test_multi_scalar_mul(curve, crng):
+    """runMultiScalarMul (math_test.go:323-346)."""
+    c = curve
+    n = 10
+    g1s = [c.GenG1.Mul(c.NewRandomZr(crng)) for _ in range(n)]
+    zrs = [c.NewRandomZr(crng) for _ in range(n)]
+    acc = c.NewG1()
+    for g, z in zip(g1s, zrs):
+        acc.Add(g.Mul(z))
+    assert acc.Equals(c.MultiScalarMul(g1s, zrs))
+
+
+def test_json_marshaler(curve, crng):
+    """runJsonMarshaler (math_test.go:793-821)."""
+    c = curve
+    zr = c.NewRandomZr(crng)
+    g1 = c.GenG1.Mul(zr)
+    g2 = c.GenG2.Mul(zr)
+    gt = c.Pairing(g2, g1)
+    from mathlib_tpu.api import G1, G2, Gt
+
+    blob = json.dumps(
+        {
+            "Zr": json.loads(zr.MarshalJSON()),
+            "G1": json.loads(g1.MarshalJSON()),
+            "G2": json.loads(g2.MarshalJSON()),
+            "Gt": json.loads(gt.MarshalJSON()),
+        }
+    )
+    d = json.loads(blob)
+    assert Zr.UnmarshalJSON(json.dumps(d["Zr"])).Equals(zr)
+    assert G1.UnmarshalJSON(json.dumps(d["G1"])).Equals(g1)
+    assert G2.UnmarshalJSON(json.dumps(d["G2"])).Equals(g2)
+    assert Gt.UnmarshalJSON(json.dumps(d["Gt"])).Equals(gt)
+
+
+def test_json_marshaler_fails():
+    """TestJSONMarshalerFails (math_test.go:823-850)."""
+    from mathlib_tpu.api import G1, G2, Gt, SerializationError
+
+    for cls in (Zr, G1, G2, Gt):
+        with pytest.raises(Exception):
+            cls.UnmarshalJSON(b'{"element":1}')
+    for cls in (G1, G2, Gt):
+        with pytest.raises(Exception):
+            cls.UnmarshalJSON(b'{"element":"YQo="}')
+
+
+def test_immutability(curve, crng):
+    """TestImmutability (math_test.go:27-130)."""
+    c = curve
+    _r = c.NewRandomZr(crng)
+    orig = _r.Copy()
+    for op in (
+        lambda: _r.Plus(c.NewRandomZr(crng)),
+        lambda: _r.Minus(c.NewRandomZr(crng)),
+        lambda: _r.Mul(c.NewRandomZr(crng)),
+        lambda: _r.PowMod(c.NewRandomZr(crng)),
+        lambda: _r.Copy(),
+    ):
+        op()
+        assert _r.Equals(orig)
+
+    g = c.GenG1.Mul(c.NewRandomZr(crng))
+    orig_g = g.Copy()
+    g.Mul(c.NewRandomZr(crng))
+    g.Mul2(c.NewRandomZr(crng), c.GenG1, c.NewRandomZr(crng))
+    assert g.Equals(orig_g)
+
+    h = c.GenG2.Mul(c.NewRandomZr(crng))
+    orig_h = h.Copy()
+    h.Mul(c.NewRandomZr(crng))
+    assert h.Equals(orig_h)
+
+    gt = c.GenGt.Exp(c.NewRandomZr(crng))
+    orig_gt, err = c.NewGtFromBytes(gt.Bytes())
+    assert err is None
+    gt.Exp(c.NewRandomZr(crng))
+    assert gt.Equals(orig_gt)
+
+
+def test_381_compat(crng):
+    """Test381Compat (math_test.go:879-911): kilic- and gurvy-flavoured
+    BLS12-381 must be byte-identical across all element types."""
+    kilic = Curves[CurveID.BLS12_381]
+    gurvy = Curves[CurveID.BLS12_381_GURVY]
+
+    rk = kilic.NewRandomZr(crng)
+    rg = gurvy.NewZrFromBytes(rk.Bytes())
+    assert rk.Bytes() == rg.Bytes()
+
+    assert gurvy.GenG1.Mul(rg).Bytes() == kilic.GenG1.Mul(rk).Bytes()
+    assert gurvy.GenG1.Mul(rg).Compressed() == kilic.GenG1.Mul(rk).Compressed()
+    assert gurvy.GenG2.Mul(rg).Bytes() == kilic.GenG2.Mul(rk).Bytes()
+    assert gurvy.GenG2.Mul(rg).Compressed() == kilic.GenG2.Mul(rk).Compressed()
+    assert gurvy.GenGt.Exp(rg).Bytes() == kilic.GenGt.Exp(rk).Bytes()
+
+    assert gurvy.HashToG1(b"Chase!").Bytes() == kilic.HashToG1(b"Chase!").Bytes()
+    assert (
+        gurvy.HashToG1WithDomain(b"CD", b"EF").Bytes()
+        == kilic.HashToG1WithDomain(b"CD", b"EF").Bytes()
+    )
+
+
+def test_381_bbs_compat(crng):
+    """Test381BBSCompat (math_test.go:913-945)."""
+    kilic = Curves[CurveID.BLS12_381_BBS]
+    gurvy = Curves[CurveID.BLS12_381_BBS_GURVY]
+    rk = kilic.NewRandomZr(crng)
+    rg = gurvy.NewZrFromBytes(rk.Bytes())
+    assert gurvy.GenG1.Mul(rg).Bytes() == kilic.GenG1.Mul(rk).Bytes()
+    assert gurvy.GenG2.Mul(rg).Compressed() == kilic.GenG2.Mul(rk).Compressed()
+    assert gurvy.GenGt.Exp(rg).Bytes() == kilic.GenGt.Exp(rk).Bytes()
+    assert gurvy.HashToG1(b"Chase!").Bytes() == kilic.HashToG1(b"Chase!").Bytes()
+    assert (
+        gurvy.HashToG1WithDomain(b"CD", b"EF").Bytes()
+        == kilic.HashToG1WithDomain(b"CD", b"EF").Bytes()
+    )

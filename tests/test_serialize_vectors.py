@@ -1,0 +1,62 @@
+"""Known-answer serialization pins from public standards.
+
+The BLS12-381 generator encodings below are the canonical public values from
+the BLS12-381 ciphersuite (as used by ZCash / Ethereum 2.0 / the IETF BLS
+signature draft); kilic and gnark both produce these bytes, so they pin our
+codec against the reference backends without running Go."""
+
+from mathlib_tpu.api import CurveID, Curves
+
+G1_GEN_COMPRESSED = bytes.fromhex(
+    "97f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+    "6c55e83ff97a1aeffb3af00adb22c6bb"
+)
+G2_GEN_COMPRESSED = bytes.fromhex(
+    "93e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+    "334cf11213945d57e5ac7d055d042b7e024aa2b2f08f0a91260805272dc51051"
+    "c6e47ad4fa403b02b4510b647ae3d1770bac0326a805bbefd48056c8c121bdb8"
+)
+
+
+def test_bls12_381_generator_encodings():
+    for cid in (CurveID.BLS12_381, CurveID.BLS12_381_GURVY, CurveID.BLS12_381_BBS):
+        c = Curves[cid]
+        assert c.GenG1.Compressed() == G1_GEN_COMPRESSED
+        assert c.GenG2.Compressed() == G2_GEN_COMPRESSED
+        # uncompressed = compressed with C flag cleared, plus y
+        assert c.GenG1.Bytes()[0] == G1_GEN_COMPRESSED[0] & 0x1F
+        assert c.GenG1.Bytes()[:48][1:] == G1_GEN_COMPRESSED[1:]
+
+
+def test_zcash_infinity_flags():
+    c = Curves[CurveID.BLS12_381]
+    inf = c.NewG1()
+    assert inf.Compressed()[0] == 0xC0
+    assert inf.Bytes()[0] == 0x40
+    assert all(b == 0 for b in inf.Compressed()[1:])
+
+
+def test_scalar_negative_twos_complement():
+    """driver/common/big.go:25-39: negative scalars canonicalize mod r."""
+    c = Curves[CurveID.BLS12_381]
+    r = c.GroupOrder.BigInt()
+    m1 = c.NewZrFromInt(-1)
+    assert int.from_bytes(m1.Bytes(), "big") == r - 1
+    # GroupOrder itself serializes as r (the > vs >= quirk, big.go:104)
+    assert int.from_bytes(c.GroupOrder.Bytes(), "big") == r
+
+
+def test_gnark_uncompressed_infinity_all_zero():
+    c = Curves[CurveID.BN254]
+    assert c.NewG1().Bytes() == bytes(64)
+    assert c.NewG1().Compressed()[0] == 0x40
+    c377 = Curves[CurveID.BLS12_377_GURVY]
+    assert c377.NewG1().Bytes() == bytes(96)
+
+
+def test_amcl_prefixes():
+    c = Curves[CurveID.FP256BN_AMCL]
+    b = c.GenG1.Bytes()
+    assert b[0] == 0x04 and len(b) == 65
+    comp = c.GenG1.Compressed()
+    assert comp[0] in (0x02, 0x03) and len(comp) == 33
