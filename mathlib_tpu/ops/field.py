@@ -1,19 +1,34 @@
 """Batched prime-field arithmetic over limb arrays — the TPU compute core.
 
-Every field element is a ``(..., L)`` uint32 array of 16-bit limbs
+Every field element is a ``(..., L)`` uint32 array of canonical 16-bit limbs
 (little-endian), kept in Montgomery form with ``R = 2**(16*L)``.  All
 operations are pure jnp functions of static shape: they vectorize over
 arbitrary leading batch dimensions on the VPU (8x128 lanes) and contain no
 data-dependent control flow, so they trace once under ``jit`` and shard
 transparently under ``shard_map``.
 
-Why 16-bit limbs in uint32: a 16x16 product fits uint32 exactly, and the
-lo/hi halves of each product are < 2**16, so an accumulator position never
-exceeds ~2**23 before a carry sweep (see the audit in ``mont_mul``).  This
-replaces the 64-bit ADX/BMI2 Montgomery assembly the reference reaches via
-go:linkname (driver/kilic/custom_amd64.go:26-30) and the generic CIOS spec
-(driver/kilic/custom_generic.go:57-175) with lane-parallel arithmetic — the
-TPU has no 64-bit scalar multiplier, but it has thousands of 32-bit lanes.
+Design notes (chosen for XLA op-count and TPU lane parallelism):
+
+* **16-bit limbs in uint32** — a 16x16 product fits uint32 exactly and the
+  lo/hi split keeps every accumulator below 2**23.  L is padded so that
+  ``R >= 4p`` (one extra limb for FP256BN), which gives the headroom the
+  bound analyses below rely on.
+* **Limb convolution via a pad/reshape skew** — the schoolbook product is a
+  polynomial convolution; instead of L sequential slice-updates we build the
+  full (L, L) product matrix in one vector op and reduce its anti-diagonals
+  by shearing rows with a pad+reshape (``_skew_sum``), one reduction.
+* **Non-interleaved Montgomery (REDC)** — instead of the sequential per-limb
+  ``m_i`` recurrence of CIOS (the algorithm the reference spells out at
+  driver/kilic/custom_generic.go:57-175), we compute the full
+  ``m = (T mod R) * N' mod R`` with N' = -p^{-1} mod R as one more
+  convolution, then ``(T + m*p) / R``.  Every step is lane-parallel.
+* **Carry-lookahead normalization** — redundant limbs (< 2**23) are made
+  canonical with one shift-carry pass plus a generate/propagate
+  ``associative_scan`` (log-depth), not an L-step ripple.
+
+This replaces the 64-bit ADX/BMI2 Montgomery assembly the reference reaches
+via go:linkname (driver/kilic/custom_amd64.go:26-30): the TPU has no 64-bit
+scalar multiplier, but it has thousands of 32-bit lanes.
 """
 
 from __future__ import annotations
@@ -51,6 +66,59 @@ def bits_of(e: int, n: Optional[int] = None) -> np.ndarray:
     return np.array([(e >> i) & 1 for i in range(n)], dtype=np.uint32)
 
 
+def _normalize(t: Array) -> Array:
+    """Redundant limbs -> canonical 16-bit digits of the same integer.
+
+    ``t`` is ``(..., K)`` uint32 with every position < 2**31 and total value
+    < 2**(16K) (so the top position generates no immediate carry).  One
+    shift-carry pass leaves values < 2**17 whose residual carries are 0/1;
+    those are resolved with a generate/propagate carry-lookahead scan
+    (log-depth instead of a K-step ripple).
+    """
+    c = t >> LIMB_BITS
+    pad = [(0, 0)] * (t.ndim - 1) + [(1, 0)]
+    v = (t & LIMB_MASK) + jnp.pad(c[..., :-1], pad)
+    g = v >> LIMB_BITS  # generate: carry out even with no carry in (0/1)
+    p = ((v & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)  # propagate
+
+    def combine(a, b):
+        ga, pa = a
+        gb, pb = b
+        return (gb | (pb & ga), pa & pb)
+
+    cg, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    cin = jnp.pad(cg[..., :-1], pad)
+    return (v + cin) & LIMB_MASK
+
+
+def _skew_sum(M: Array) -> Array:
+    """Anti-diagonal sums of ``M`` (..., A, B): out[k] = sum_i M[i, k-i].
+
+    Implemented by shearing: pad rows to width A+B, flatten, truncate and
+    reshape so row i lands shifted right by i, then one reduction.
+    """
+    A, B = M.shape[-2], M.shape[-1]
+    batch = M.shape[:-2]
+    W = A + B
+    pad = [(0, 0)] * (M.ndim - 2) + [(0, 0), (0, A)]
+    Mp = jnp.pad(M, pad).reshape(batch + (A * W,))
+    Ms = Mp[..., : A * (W - 1)].reshape(batch + (A, W - 1))
+    return Ms.sum(axis=-2)
+
+
+def _conv(a: Array, b: Array) -> Array:
+    """Limb convolution (= big-int product) of canonical limb arrays.
+
+    a: (..., A), b: (..., B), both with 16-bit limbs; returns (..., A+B)
+    redundant limbs, each < 2**17 * min(A, B) < 2**22 for A,B <= 32.
+    """
+    prod = a[..., :, None] * b[..., None, :]  # exact in uint32
+    lo = _skew_sum(prod & LIMB_MASK)  # (..., A+B-1)
+    hi = _skew_sum(prod >> LIMB_BITS)
+    pad0 = [(0, 0)] * (lo.ndim - 1)
+    return jnp.pad(lo, pad0 + [(0, 1)]) + jnp.pad(hi, pad0 + [(1, 0)])
+
+
 class FpCtx:
     """All batched mod-p arithmetic for one prime ``p``.
 
@@ -62,13 +130,20 @@ class FpCtx:
         self.p = p
         self.name = name
         self.nbits = p.bit_length()
-        self.L = -(-self.nbits // LIMB_BITS)
+        # pad so R >= 4p: headroom for lazy [0, 2p) intermediates
+        self.L = -(-(self.nbits + 2) // LIMB_BITS)
         L = self.L
         self.R = 1 << (LIMB_BITS * L)
-        assert p % 2 == 1 and p < self.R
+        assert p % 2 == 1 and 4 * p <= self.R
         self.p_limbs = int_to_limbs(p, L)
-        # n0inv = -p^{-1} mod 2^16 (the CIOS "m'": custom_generic.go:56)
-        self.n0inv = np.uint32((-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        # N' = -p^{-1} mod R (full-width Montgomery constant)
+        self.nprime_limbs = int_to_limbs((-pow(p, -1, self.R)) % self.R, L)
+        # R - p, canonical: used for the conditional subtraction
+        self.r_minus_p = int_to_limbs(self.R - p, L)
+        # borrow-absorbing representation of p + R: every limb >= 2^16 - 1,
+        # so a + X - b never underflows limbwise (see ``sub``)
+        self.sub_offset = self.p_limbs.astype(np.uint32) + np.uint32(LIMB_MASK)
+        self.sub_offset[0] += 1
         self.r_mod_p = self.R % p
         self.r2 = (self.R * self.R) % p
         self.r2_limbs = int_to_limbs(self.r2, L)
@@ -104,64 +179,27 @@ class FpCtx:
         return out
 
     # ------------------------------------------------------------- helpers --
-    def _carry_sweep(self, t: Array) -> Array:
-        """Propagate carries so every position is a canonical 16-bit limb.
-
-        Input positions may hold values up to ~2**23; output has the same
-        length with a fully-propagated final limb (caller must ensure the
-        true value fits).
-        """
-        K = t.shape[-1]
-        out = []
-        c = jnp.zeros_like(t[..., 0])
-        for k in range(K):
-            v = t[..., k] + c
-            out.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1)
-
-    def _sub_limbs(self, a: Array, b: Array):
-        """(a - b) limbwise; returns (diff, borrow) with borrow in {0,1}."""
-        L = a.shape[-1]
-        diff = []
-        borrow = jnp.zeros_like(a[..., 0])
-        for k in range(L):
-            v = a[..., k] + jnp.uint32(1 << LIMB_BITS) - b[..., k] - borrow
-            diff.append(v & LIMB_MASK)
-            borrow = jnp.uint32(1) - (v >> LIMB_BITS)
-        return jnp.stack(diff, axis=-1), borrow
-
-    def _cond_sub_p(self, r: Array, extra_bit: Optional[Array] = None) -> Array:
-        """r - p if r >= p (r < 2p; ``extra_bit`` is r's 2^(16L) bit)."""
-        p = jnp.asarray(self.p_limbs)
-        diff, borrow = self._sub_limbs(r, jnp.broadcast_to(p, r.shape))
-        ge = borrow == 0
-        if extra_bit is not None:
-            ge = jnp.logical_or(ge, extra_bit > 0)
-        return jnp.where(ge[..., None], diff, r)
+    def _cond_sub_p(self, r: Array) -> Array:
+        """r - p if r >= p, for canonical-limb r with value < 2p."""
+        pad = [(0, 0)] * (r.ndim - 1) + [(0, 1)]
+        w = _normalize(jnp.pad(r + jnp.asarray(self.r_minus_p), pad))
+        ge = w[..., self.L] > 0  # r + (R - p) overflowed R  <=>  r >= p
+        return jnp.where(ge[..., None], w[..., : self.L], r)
 
     # ------------------------------------------------------------- arith ----
     def add(self, a: Array, b: Array) -> Array:
-        t = a + b  # limbwise, values < 2**17
-        r = self._carry_sweep(
-            jnp.concatenate([t, jnp.zeros_like(t[..., :1])], axis=-1)
-        )
-        return self._cond_sub_p(r[..., : self.L], extra_bit=r[..., self.L])
+        return self._cond_sub_p(_normalize(a + b))  # a + b < 2p <= R/2
 
     def sub(self, a: Array, b: Array) -> Array:
-        d, borrow = self._sub_limbs(a, b)
-        # if borrowed, add p back
-        t = d + jnp.where(
-            (borrow > 0)[..., None], jnp.asarray(self.p_limbs), jnp.uint32(0)
-        )
-        return self._carry_sweep(
-            jnp.concatenate([t, jnp.zeros_like(t[..., :1])], axis=-1)
-        )[..., : self.L]
+        # a - b + (p + R), with the offset represented borrow-absorbingly so
+        # no limb underflows; the guaranteed top digit (= R) is dropped.
+        t = a + jnp.asarray(self.sub_offset) - b
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, 1)]
+        w = _normalize(jnp.pad(t, pad))  # value in (R, R + 2p), top digit 1
+        return self._cond_sub_p(w[..., : self.L])
 
     def neg(self, a: Array) -> Array:
-        """-a mod p (maps 0 -> 0)."""
-        d, _ = self._sub_limbs(jnp.broadcast_to(jnp.asarray(self.p_limbs), a.shape), a)
-        return jnp.where(self.is_zero(a)[..., None], a, d)
+        return self.sub(jnp.zeros_like(a), a)
 
     def mul_int(self, a: Array, n: int) -> Array:
         """a * n for small host integer n (double-and-add chain)."""
@@ -179,31 +217,27 @@ class FpCtx:
         return acc
 
     def mont_mul(self, a: Array, b: Array) -> Array:
-        """Montgomery product a*b*R^{-1} mod p.
+        """Montgomery product a*b*R^{-1} mod p (canonical in, canonical out).
 
-        Full schoolbook product with lo/hi split accumulation, then REDC.
-        Accumulator audit: position k gets <= L lo-terms + L hi-terms from the
-        product phase (< 2**21.6) plus <= 2 terms per REDC iteration
-        (< 2**22.6 total) plus pushed carries (< 2**8) — all well under 2**32.
+        T = a*b; m = (T mod R) * N' mod R; out = (T + m*p)/R, cond-sub p.
+        The division by R is exact: after normalization the low L digits of
+        T + m*p are zero by construction, and the carry into digit L is
+        handled by the same carry-lookahead pass.
         """
         L = self.L
-        a, b = jnp.broadcast_arrays(a, b)
-        shape = a.shape[:-1]
-        t = jnp.zeros(shape + (2 * L + 1,), dtype=jnp.uint32)
-        for i in range(L):
-            prod = a[..., i : i + 1] * b  # (..., L) exact u32
-            t = t.at[..., i : i + L].add(prod & LIMB_MASK)
-            t = t.at[..., i + 1 : i + 1 + L].add(prod >> LIMB_BITS)
-        p = jnp.asarray(self.p_limbs)
-        for i in range(L):
-            m = (t[..., i] * self.n0inv) & LIMB_MASK
-            prod = m[..., None] * p
-            t = t.at[..., i : i + L].add(prod & LIMB_MASK)
-            t = t.at[..., i + 1 : i + 1 + L].add(prod >> LIMB_BITS)
-            # position i is now ≡ 0 mod 2^16; push its carry up and retire it
-            t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-        r = self._carry_sweep(t[..., L:])  # (..., L+1)
-        return self._cond_sub_p(r[..., :L], extra_bit=r[..., L])
+        T = _conv(a, b)  # (..., 2L), limbs < 2**22, value < p^2
+        Tlo = T[..., :L]
+        t1, t2 = Tlo & LIMB_MASK, Tlo >> LIMB_BITS  # t2 < 2**6
+        np_ = jnp.asarray(self.nprime_limbs)
+        pad0 = [(0, 0)] * (t1.ndim - 1)
+        m_r = _conv(t1, np_)[..., :L] + jnp.pad(
+            _conv(t2, np_)[..., : L - 1], pad0 + [(1, 0)]
+        )
+        m = _normalize(m_r)  # canonical mod R (top carries drop R-multiples)
+        MP = _conv(m, jnp.asarray(self.p_limbs))  # (..., 2L)
+        S = jnp.pad(T, pad0 + [(0, 1)]) + jnp.pad(MP, pad0 + [(0, 1)])
+        digits = _normalize(S)  # low L digits are zero
+        return self._cond_sub_p(digits[..., L : 2 * L])  # value < 2p < R
 
     def sqr(self, a: Array) -> Array:
         return self.mont_mul(a, a)

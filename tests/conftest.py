@@ -1,18 +1,26 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
+The sandbox presets JAX_PLATFORMS=axon and imports jax from sitecustomize,
+so env vars alone cannot redirect the backend — we must override via
+jax.config after import.  XLA_FLAGS still applies because the CPU client is
+only created lazily at first use (which happens inside the tests).
+
 Real-TPU execution is exercised by bench.py / __graft_entry__.py; the test
 suite validates numerics and multi-chip sharding on host CPU (the reference
-has no distributed machinery at all — SURVEY.md §5.8)."""
+has no distributed machinery at all — SURVEY.md §5.8).
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 
