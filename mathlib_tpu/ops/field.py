@@ -130,7 +130,7 @@ class FpCtx:
         self.p = p
         self.name = name
         self.nbits = p.bit_length()
-        # pad so R >= 4p: headroom for lazy [0, 2p) intermediates
+        # pad so R >= 4p: headroom for the lazy [0, 2p) value domain below
         self.L = -(-(self.nbits + 2) // LIMB_BITS)
         L = self.L
         self.R = 1 << (LIMB_BITS * L)
@@ -138,11 +138,13 @@ class FpCtx:
         self.p_limbs = int_to_limbs(p, L)
         # N' = -p^{-1} mod R (full-width Montgomery constant)
         self.nprime_limbs = int_to_limbs((-pow(p, -1, self.R)) % self.R, L)
-        # R - p, canonical: used for the conditional subtraction
+        # R - p / R - 2p, canonical: used for the conditional subtractions
         self.r_minus_p = int_to_limbs(self.R - p, L)
-        # borrow-absorbing representation of p + R: every limb >= 2^16 - 1,
+        self.r_minus_2p = int_to_limbs(self.R - 2 * p, L)
+        self.p2_limbs = int_to_limbs(2 * p, L)
+        # borrow-absorbing representation of 2p + R: every limb >= 2^16 - 1,
         # so a + X - b never underflows limbwise (see ``sub``)
-        self.sub_offset = self.p_limbs.astype(np.uint32) + np.uint32(LIMB_MASK)
+        self.sub_offset = self.p2_limbs.astype(np.uint32) + np.uint32(LIMB_MASK)
         self.sub_offset[0] += 1
         self.r_mod_p = self.R % p
         self.r2 = (self.R * self.R) % p
@@ -179,6 +181,14 @@ class FpCtx:
         return out
 
     # ------------------------------------------------------------- helpers --
+    #
+    # Value domain: every device element is held with canonical 16-bit limbs
+    # but a *lazily reduced* value in [0, 2p) ("relaxed form").  With
+    # R >= 4p this domain is closed under mont_mul with NO trailing
+    # conditional subtraction (bound: (2p)(2p)/R + p < 2p), and add/sub need
+    # only a single cond-sub against 2p.  Full canonicalization to [0, p)
+    # happens only at host boundaries (``canon``/``decode``) and inside
+    # exact predicates.
     def _cond_sub_p(self, r: Array) -> Array:
         """r - p if r >= p, for canonical-limb r with value < 2p."""
         pad = [(0, 0)] * (r.ndim - 1) + [(0, 1)]
@@ -186,17 +196,28 @@ class FpCtx:
         ge = w[..., self.L] > 0  # r + (R - p) overflowed R  <=>  r >= p
         return jnp.where(ge[..., None], w[..., : self.L], r)
 
+    def _cond_sub_2p(self, r: Array) -> Array:
+        """r - 2p if r >= 2p, for canonical-limb r with value < 4p <= R."""
+        pad = [(0, 0)] * (r.ndim - 1) + [(0, 1)]
+        w = _normalize(jnp.pad(r + jnp.asarray(self.r_minus_2p), pad))
+        ge = w[..., self.L] > 0
+        return jnp.where(ge[..., None], w[..., : self.L], r)
+
+    def canon(self, a: Array) -> Array:
+        """Relaxed [0, 2p) -> canonical [0, p)."""
+        return self._cond_sub_p(a)
+
     # ------------------------------------------------------------- arith ----
     def add(self, a: Array, b: Array) -> Array:
-        return self._cond_sub_p(_normalize(a + b))  # a + b < 2p <= R/2
+        return self._cond_sub_2p(_normalize(a + b))  # a + b < 4p <= R
 
     def sub(self, a: Array, b: Array) -> Array:
-        # a - b + (p + R), with the offset represented borrow-absorbingly so
+        # a - b + (2p + R), with the offset represented borrow-absorbingly so
         # no limb underflows; the guaranteed top digit (= R) is dropped.
         t = a + jnp.asarray(self.sub_offset) - b
         pad = [(0, 0)] * (t.ndim - 1) + [(0, 1)]
-        w = _normalize(jnp.pad(t, pad))  # value in (R, R + 2p), top digit 1
-        return self._cond_sub_p(w[..., : self.L])
+        w = _normalize(jnp.pad(t, pad))  # value in (R, R + 4p), top digit 1
+        return self._cond_sub_2p(w[..., : self.L])
 
     def neg(self, a: Array) -> Array:
         return self.sub(jnp.zeros_like(a), a)
@@ -217,15 +238,17 @@ class FpCtx:
         return acc
 
     def mont_mul(self, a: Array, b: Array) -> Array:
-        """Montgomery product a*b*R^{-1} mod p (canonical in, canonical out).
+        """Montgomery product a*b*R^{-1} mod p, relaxed in / relaxed out.
 
-        T = a*b; m = (T mod R) * N' mod R; out = (T + m*p)/R, cond-sub p.
+        T = a*b; m = (T mod R) * N' mod R; out = (T + m*p)/R.
+        Inputs < 2p each give T < 4p^2, so out < 4p^2/R + p < 2p (R >= 4p):
+        the [0, 2p) domain is closed with no conditional subtraction.
         The division by R is exact: after normalization the low L digits of
         T + m*p are zero by construction, and the carry into digit L is
         handled by the same carry-lookahead pass.
         """
         L = self.L
-        T = _conv(a, b)  # (..., 2L), limbs < 2**22, value < p^2
+        T = _conv(a, b)  # (..., 2L), limbs < 2**22, value < 4p^2
         Tlo = T[..., :L]
         t1, t2 = Tlo & LIMB_MASK, Tlo >> LIMB_BITS  # t2 < 2**6
         np_ = jnp.asarray(self.nprime_limbs)
@@ -237,7 +260,7 @@ class FpCtx:
         MP = _conv(m, jnp.asarray(self.p_limbs))  # (..., 2L)
         S = jnp.pad(T, pad0 + [(0, 1)]) + jnp.pad(MP, pad0 + [(0, 1)])
         digits = _normalize(S)  # low L digits are zero
-        return self._cond_sub_p(digits[..., L : 2 * L])  # value < 2p < R
+        return digits[..., L : 2 * L]  # value < 2p
 
     def sqr(self, a: Array) -> Array:
         return self.mont_mul(a, a)
@@ -251,10 +274,15 @@ class FpCtx:
 
     # --------------------------------------------------------- predicates ---
     def is_zero(self, a: Array) -> Array:
-        return jnp.all(a == 0, axis=-1)
+        """a ≡ 0 (mod p); relaxed values are 0 mod p iff they are 0 or p."""
+        return jnp.logical_or(
+            jnp.all(a == 0, axis=-1),
+            jnp.all(a == jnp.asarray(self.p_limbs), axis=-1),
+        )
 
     def eq(self, a: Array, b: Array) -> Array:
-        return jnp.all(a == b, axis=-1)
+        """a ≡ b (mod p) for relaxed values."""
+        return self.is_zero(self.sub(a, b))
 
     def select(self, mask: Array, a: Array, b: Array) -> Array:
         """mask ? a : b, mask shaped (...,)."""

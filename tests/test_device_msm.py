@@ -1,0 +1,76 @@
+"""Pippenger MSM vs the host-engine naive fold (math_test.go:323-346)."""
+
+import random
+
+import jax
+import pytest
+
+from mathlib_tpu.host.engine import get_engine
+from mathlib_tpu.ops.g1 import get_g1_ctx
+from mathlib_tpu.ops.msm import msm, msm_naive
+
+
+@pytest.fixture(params=["BLS12_381", "BN254"])
+def curve(request):
+    from mathlib_tpu.curves.params import get_spec
+
+    return get_spec(request.param)
+
+
+def _setup(curve, n, seed=0):
+    eng = get_engine(curve)
+    g1 = get_g1_ctx(curve)
+    rng = random.Random(seed)
+    pts = [eng.g1.mul(eng.gen_g1, rng.randrange(1, curve.r)) for _ in range(n)]
+    ks = [rng.randrange(curve.r) for _ in range(n)]
+    return eng, g1, pts, ks
+
+
+def test_msm_matches_host(curve):
+    """Generic MSM with edge inputs: duplicate points (forces doubling in
+    bucket sums), zero scalars, and infinity, at an odd size."""
+    eng, g1, pts, ks = _setup(curve, 13, seed=1)
+    pts = pts + [pts[0], pts[1], None]
+    ks = ks + [ks[0], 0, 5]
+    out = g1.decode_point(
+        jax.jit(lambda p, s: msm(g1, p, s, c=4))(
+            g1.encode_points(pts), g1.encode_scalars(ks)
+        )
+    )
+    expect = eng.g1.msm([p for p in pts if p is not None], ks[:-1])
+    assert out == expect
+
+
+def test_msm_chunked_segments_c8():
+    """n > 64 exercises the recursive chunked segment scan, with heavy
+    digit duplication so bucket segments span chunk boundaries."""
+    from mathlib_tpu.curves.params import get_spec
+
+    curve = get_spec("BLS12_381")
+    eng, g1, _, _ = _setup(curve, 0)
+    rng = random.Random(7)
+    base = [eng.g1.mul(eng.gen_g1, rng.randrange(1, curve.r)) for _ in range(8)]
+    n = 70
+    pts = [base[rng.randrange(8)] for _ in range(n)]
+    ks = [rng.randrange(curve.r) for _ in range(n)]
+    for i in range(0, n, 2):
+        ks[i] = rng.randrange(16)  # collide digits -> long segments
+    out = g1.decode_point(
+        jax.jit(lambda p, s: msm(g1, p, s, c=8))(
+            g1.encode_points(pts), g1.encode_scalars(ks)
+        )
+    )
+    assert out == eng.g1.msm(pts, ks)
+
+
+def test_msm_naive_oracle():
+    from mathlib_tpu.curves.params import get_spec
+
+    curve = get_spec("BLS12_381")
+    eng, g1, pts, ks = _setup(curve, 5, seed=4)
+    out = g1.decode_point(
+        jax.jit(lambda p, s: msm_naive(g1, p, s))(
+            g1.encode_points(pts), g1.encode_scalars(ks)
+        )
+    )
+    assert out == eng.g1.msm(pts, ks)
