@@ -1,11 +1,12 @@
 """Batched G1 group law in homogeneous projective coordinates.
 
-A point batch is a ``(..., 3, L)`` uint32 array stacking (X, Y, Z) limb
-vectors (Montgomery, relaxed form).  Infinity is (0 : 1 : 0).  The group
-law is the complete RCB formula set (ops/weier.py) — one branchless
-straight-line program for every input, replacing the reference's per-case
-Jacobian code (driver/gurvy/bls12381/bls12-381.go:230-280,
-driver/kilic/bls12-381.go:20-106) with a CurveSpec-generic batched kernel.
+A point batch is a ``(..., 3, L, B)`` uint32 array stacking (X, Y, Z) limb
+planes (Montgomery, relaxed form) with the element batch B on the lane
+axis.  Infinity is (0 : 1 : 0).  The group law is the complete RCB formula
+set (ops/weier.py) — one branchless straight-line program for every input,
+replacing the reference's per-case Jacobian code
+(driver/gurvy/bls12381/bls12-381.go:230-280, driver/kilic/bls12-381.go:
+20-106) with a CurveSpec-generic batched kernel.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ Array = jax.Array
 
 
 class FpAdapter(weier.FieldAdapter):
-    """weier.FieldAdapter over a base-field FpCtx (stack axis -2)."""
+    """weier.FieldAdapter over a base-field FpCtx (stack axis -3)."""
 
     def __init__(self, fp: FpCtx, b: int):
         self.fp = fp
@@ -40,25 +41,25 @@ class FpAdapter(weier.FieldAdapter):
     def _zip(self, xs, ys):
         xs = list(jnp.broadcast_arrays(*xs)) if len(xs) > 1 else list(xs)
         ys = list(jnp.broadcast_arrays(*ys)) if len(ys) > 1 else list(ys)
-        a = jnp.stack(xs, axis=-2)
-        b = jnp.stack(ys, axis=-2)
+        a = jnp.stack(xs, axis=-3)
+        b = jnp.stack(ys, axis=-3)
         a, b = jnp.broadcast_arrays(a, b)
         return a, b
 
     def mul_many(self, xs, ys):
         a, b = self._zip(xs, ys)
         out = self.fp.mont_mul(a, b)
-        return tuple(out[..., i, :] for i in range(len(xs)))
+        return tuple(out[..., i, :, :] for i in range(len(xs)))
 
     def add_many(self, xs, ys):
         a, b = self._zip(xs, ys)
         out = self.fp.add(a, b)
-        return tuple(out[..., i, :] for i in range(len(xs)))
+        return tuple(out[..., i, :, :] for i in range(len(xs)))
 
     def sub_many(self, xs, ys):
         a, b = self._zip(xs, ys)
         out = self.fp.sub(a, b)
-        return tuple(out[..., i, :] for i in range(len(xs)))
+        return tuple(out[..., i, :, :] for i in range(len(xs)))
 
     def mul_b3(self, a):
         return self.fp.mul_int(a, self.b3)
@@ -72,92 +73,116 @@ class G1Ctx:
         self.F = FpAdapter(self.fp, spec.b)
         fp = self.fp
         gx, gy = spec.g1_gen
-        self.gen = np.stack([fp.encode(gx), fp.encode(gy), fp.encode(1)])
+        self.gen = np.stack([fp.encode(gx), fp.encode(gy), fp.encode(1)])  # (3, L, 1)
         self.inf = np.stack([fp.encode(0), fp.encode(1), fp.encode(0)])
         self.nbits = spec.r.bit_length()
 
     # ------------------------------------------------------------ host <-> --
     def encode_point(self, P: Optional[Tuple[int, int]]) -> np.ndarray:
-        """Affine host point (or None for infinity) -> (3, L) projective."""
+        """Affine host point (or None for infinity) -> (3, L, 1) projective."""
         if P is None:
             return self.inf.copy()
         x, y = P
         return np.stack([self.fp.encode(x), self.fp.encode(y), self.fp.encode(1)])
 
     def encode_points(self, pts) -> np.ndarray:
-        return np.stack([self.encode_point(P) for P in pts])
+        """List of N host points -> (3, L, N)."""
+        return np.concatenate([self.encode_point(P) for P in pts], axis=-1)
 
     def decode_point(self, arr) -> Optional[Tuple[int, int]]:
-        """(3, L) projective -> affine host point or None."""
+        """(3, L) / (3, L, 1) projective -> affine host point or None."""
         arr = np.asarray(arr)
-        fp, p = self.fp, self.spec.p
-        X, Y, Z = (fp.decode(arr[i]) for i in range(3))
-        if Z == 0:
-            return None
-        zi = pow(Z, p - 2, p)
-        return (X * zi % p, Y * zi % p)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return self.decode_points(arr)[0]
 
     def decode_points(self, arr):
-        return [self.decode_point(a) for a in np.asarray(arr)]
+        """(..., 3, L, B) -> flat list of host points (lane-major)."""
+        arr = np.asarray(arr)
+        fp, p = self.fp, self.spec.p
+        coords = fp.decode(arr)  # (..., 3, B) object
+        flat = coords.reshape(-1, 3, coords.shape[-1])
+        out = []
+        for blk in flat:
+            for i in range(blk.shape[-1]):
+                X, Y, Z = blk[0][i], blk[1][i], blk[2][i]
+                if Z == 0:
+                    out.append(None)
+                else:
+                    zi = pow(Z, p - 2, p)
+                    out.append((X * zi % p, Y * zi % p))
+        return out
 
     def encode_scalars(self, scalars) -> np.ndarray:
-        """Host ints -> (..., S) plain (non-Montgomery) 16-bit limbs mod r."""
-        S = self.fr.L
+        """Host ints shape S -> S[:-1] + (SL, S[-1]) plain 16-bit limbs mod r."""
+        SL = self.fr.L
         xs = np.asarray(scalars, dtype=object)
-        out = np.empty(xs.shape + (S,), dtype=np.uint32)
+        assert xs.ndim >= 1
+        out = np.empty(xs.shape[:-1] + (SL, xs.shape[-1]), dtype=np.uint32)
         for idx in np.ndindex(xs.shape):
-            out[idx] = int_to_limbs(int(xs[idx]) % self.spec.r, S)
+            out[idx[:-1] + (slice(None), idx[-1])] = int_to_limbs(
+                int(xs[idx]) % self.spec.r, SL
+            )
         return out
 
     # ------------------------------------------------------------ predicates
     def is_inf(self, P: Array) -> Array:
-        return self.fp.is_zero(P[..., 2, :])
+        return self.fp.is_zero(P[..., 2, :, :])
 
     def eq(self, P: Array, Q: Array) -> Array:
         """Projective equality: X1 Z2 == X2 Z1 and Y1 Z2 == Y2 Z1."""
         fp = self.fp
         a, b, c, d = self.F.mul_many(
-            [P[..., 0, :], Q[..., 0, :], P[..., 1, :], Q[..., 1, :]],
-            [Q[..., 2, :], P[..., 2, :], Q[..., 2, :], P[..., 2, :]],
+            [P[..., 0, :, :], Q[..., 0, :, :], P[..., 1, :, :], Q[..., 1, :, :]],
+            [Q[..., 2, :, :], P[..., 2, :, :], Q[..., 2, :, :], P[..., 2, :, :]],
         )
         return jnp.logical_and(fp.eq(a, b), fp.eq(c, d))
 
     def select(self, mask: Array, P: Array, Q: Array) -> Array:
-        return jnp.where(mask[..., None, None], P, Q)
+        """mask (..., B) ? P : Q."""
+        return jnp.where(mask[..., None, None, :], P, Q)
 
     # ------------------------------------------------------------- group law
     def neg(self, P: Array) -> Array:
-        return P.at[..., 1, :].set(self.fp.neg(P[..., 1, :]))
+        return P.at[..., 1, :, :].set(self.fp.neg(P[..., 1, :, :]))
 
     def _unstack(self, P: Array):
-        return P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        return P[..., 0, :, :], P[..., 1, :, :], P[..., 2, :, :]
 
     def double(self, P: Array) -> Array:
         X3, Y3, Z3 = weier.double_complete(self.F, self._unstack(P))
-        return jnp.stack([X3, Y3, Z3], axis=-2)
+        return jnp.stack([X3, Y3, Z3], axis=-3)
 
     def add(self, P: Array, Q: Array) -> Array:
         X3, Y3, Z3 = weier.add_complete(self.F, self._unstack(P), self._unstack(Q))
-        return jnp.stack([X3, Y3, Z3], axis=-2)
+        return jnp.stack([X3, Y3, Z3], axis=-3)
 
     def sub(self, P: Array, Q: Array) -> Array:
         return self.add(P, self.neg(Q))
 
     # ---------------------------------------------------------- scalar mul --
     def _scalar_bit(self, scalars: Array, bit_index) -> Array:
-        """Bit ``bit_index`` (traced scalar) of batched scalar limbs (..., S)."""
+        """Bit ``bit_index`` (traced) of batched scalar limbs (..., S, B)."""
         limb = bit_index // LIMB_BITS
         shift = bit_index % LIMB_BITS
-        word = jnp.take(scalars, limb, axis=-1)
-        return (word >> shift) & 1
+        word = jnp.take(scalars, limb, axis=-2)
+        return (word >> shift) & 1  # (..., B)
+
+    def _acc_shape(self, P: Array, *scalar_batches) -> tuple:
+        lanes = jnp.broadcast_shapes(
+            P.shape[-1:], *(s.shape[-1:] for s in scalar_batches)
+        )
+        lead = jnp.broadcast_shapes(
+            P.shape[:-3], *(s.shape[:-2] for s in scalar_batches)
+        )
+        return lead + P.shape[-3:-1] + lanes
 
     def scalar_mul(self, P: Array, scalars: Array) -> Array:
         """[k]P, batched; fixed trip count = r.bit_length() (constant-time
         shape, like the double-and-add at driver/kilic/bls12-381.go:40-50
         but with no data-dependent branching)."""
         nbits = self.nbits
-        shape = jnp.broadcast_shapes(P.shape[:-2], scalars.shape[:-1]) + P.shape[-2:]
-        acc0 = jnp.broadcast_to(jnp.asarray(self.inf), shape)
+        acc0 = jnp.broadcast_to(jnp.asarray(self.inf), self._acc_shape(P, scalars))
 
         def body(acc, t):
             bit = self._scalar_bit(scalars, nbits - 1 - t)
@@ -174,10 +199,7 @@ class G1Ctx:
         analogue of bls12381/bls12-381.go:869-937)."""
         nbits = self.nbits
         PQ = self.add(P, Q)
-        shape = jnp.broadcast_shapes(
-            P.shape[:-2], Q.shape[:-2], e.shape[:-1], f.shape[:-1]
-        ) + P.shape[-2:]
-        acc0 = jnp.broadcast_to(jnp.asarray(self.inf), shape)
+        acc0 = jnp.broadcast_to(jnp.asarray(self.inf), self._acc_shape(PQ, e, f))
 
         def body(acc, t):
             be = self._scalar_bit(e, nbits - 1 - t).astype(bool)
@@ -199,21 +221,33 @@ class G1Ctx:
     def to_affine(self, P: Array) -> Tuple[Array, Array]:
         """Batched projective -> affine (x, y); infinity maps to (0, 0)."""
         fp = self.fp
-        zi = fp.inv(P[..., 2, :])
-        x, y = self.F.mul_many([P[..., 0, :], P[..., 1, :]], [zi, zi])
+        zi = fp.inv(P[..., 2, :, :])
+        x, y = self.F.mul_many([P[..., 0, :, :], P[..., 1, :, :]], [zi, zi])
         inf = self.is_inf(P)
         zero = jnp.zeros_like(x)
         return fp.select(~inf, x, zero), fp.select(~inf, y, zero)
 
-    def sum_reduce(self, P: Array, axis: int = 0) -> Array:
-        """Tree-reduce a batch of points along ``axis`` with point addition."""
-        n = P.shape[axis]
-        P = jnp.moveaxis(P, axis, 0)
+    def sum_reduce(self, P: Array) -> Array:
+        """Tree-reduce a point batch along the LANE axis -> (..., 3, L, 1)."""
+        n = P.shape[-1]
         while n > 1:
             half = n // 2
-            even = P[: 2 * half : 2]
-            odd = P[1 : 2 * half : 2]
+            even = P[..., 0 : 2 * half : 2]
+            odd = P[..., 1 : 2 * half : 2]
             combined = self.add(even, odd)
+            if n % 2:
+                combined = jnp.concatenate([combined, P[..., 2 * half :]], axis=-1)
+            P = combined
+            n = P.shape[-1]
+        return P
+
+    def sum_reduce_axis(self, P: Array, axis: int) -> Array:
+        """Tree-reduce along a leading batch axis (e.g. device gather dim)."""
+        P = jnp.moveaxis(P, axis, 0)
+        n = P.shape[0]
+        while n > 1:
+            half = n // 2
+            combined = self.add(P[: 2 * half : 2], P[1 : 2 * half : 2])
             if n % 2:
                 combined = jnp.concatenate([combined, P[2 * half :]], axis=0)
             P = combined

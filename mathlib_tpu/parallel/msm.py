@@ -29,13 +29,13 @@ Array = jax.Array
 
 
 def allreduce_point(g1: G1Ctx, x: Array, axis_name: str) -> Array:
-    """All-reduce a (3, L) point with group addition over a mesh axis.
+    """All-reduce a (3, L, 1) point with group addition over a mesh axis.
 
     Payload per device is one point, so a simple all-gather + local tree
     reduction beats a ppermute butterfly at any realistic device count.
     """
-    gathered = jax.lax.all_gather(x, axis_name)  # (ndev, 3, L)
-    return g1.sum_reduce(gathered, axis=0)
+    gathered = jax.lax.all_gather(x, axis_name)  # (ndev, 3, L, 1)
+    return g1.sum_reduce_axis(gathered, axis=0)
 
 
 def sharded_msm(
@@ -49,14 +49,14 @@ def sharded_msm(
 ) -> Array:
     """MSM with the N points sharded across ``mesh`` axis ``axis``.
 
-    points: (N, 3, L), scalars: (N, S); N must divide evenly by the axis
-    size.  Returns the replicated (3, L) result.
+    points: (3, L, N), scalars: (S, N); N (the lane axis) must divide
+    evenly by the axis size.  Returns the replicated (3, L, 1) result.
     """
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(None, None, axis), P(None, axis)),
         out_specs=P(),
         check_rep=False,
     )

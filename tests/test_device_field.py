@@ -2,12 +2,14 @@
 
 Oracle model per SURVEY.md §4.5: the host engine plays the role the second
 real backend plays in the reference's Test381Compat (math_test.go:879-911).
+
+Layout: elements are (..., L, B) with limbs on the sublane axis and the
+batch B on lanes.
 """
 
 import random
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -28,15 +30,14 @@ def test_limb_roundtrip(ctx):
     xs = _rand_elems(ctx.p, 8, seed=1)
     for x in xs:
         assert limbs_to_int(int_to_limbs(x, ctx.L)) == x
-        assert ctx.decode(ctx.encode(x)) == x
+        assert ctx.decode1(ctx.encode(x)) == x
 
 
 def test_encode_batched(ctx):
     xs = _rand_elems(ctx.p, 6, seed=2)
     arr = ctx.encode(xs)
-    assert arr.shape == (6, ctx.L)
-    dec = ctx.decode(arr)
-    assert list(dec) == xs
+    assert arr.shape == (ctx.L, 6)
+    assert list(ctx.decode(arr)) == xs
 
 
 def test_add_sub_neg(ctx):
@@ -108,10 +109,24 @@ def test_predicates(ctx):
     assert list(z) == [True, False, False]
     e = np.asarray(jax.jit(ctx.eq)(a, a))
     assert all(e)
+    # relaxed-form zero: the value p (reachable via add) must read as zero
+    b = ctx.encode([ctx.p - 1, 1, 4])
+    s = jax.jit(ctx.add)(a, b)  # p-1, 2, 9
+    z2 = np.asarray(jax.jit(ctx.is_zero)(jax.jit(ctx.add)(s, ctx.encode([1, 0, 0]))))
+    assert bool(z2[0]) is True
+
+
+def test_canon(ctx):
+    """canon maps any relaxed value to canonical limbs < p."""
+    a = ctx.encode([ctx.p - 1, 3])
+    s = jax.jit(ctx.add)(a, ctx.encode([1, 0]))  # values {p or 0, 3}
+    c = np.asarray(jax.jit(ctx.canon)(s))
+    assert limbs_to_int(c[:, 0]) in (0,)  # canonical zero
+    assert ctx.decode(c)[1] == 3
 
 
 def test_mont_mul_broadcast(ctx):
-    """Broadcasting over batch dims must work (one scalar times many)."""
+    """Broadcasting over the lane axis must work (one scalar times many)."""
     p = ctx.p
     xs = _rand_elems(p, 5, seed=11)
     y = _rand_elems(p, 1, seed=12)[0]

@@ -1,9 +1,11 @@
-"""Device G1 group law vs the exact host engine (differential oracle)."""
+"""Device G1 group law vs the exact host engine (differential oracle).
+
+Points are (3, L, N): coordinates, limbs (sublanes), batch (lanes).
+"""
 
 import random
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -29,6 +31,7 @@ def _rand_points(eng, n, seed=0):
 def test_point_roundtrip(g1, eng):
     pts = _rand_points(eng, 3, seed=1) + [None]
     arr = g1.encode_points(pts)
+    assert arr.shape == (3, g1.fp.L, 4)
     assert g1.decode_points(arr) == pts
 
 
@@ -44,7 +47,7 @@ def test_add_generic_and_edges(g1, eng):
     P, Q, W = pts
     cases = [
         (P, Q),          # generic
-        (P, P),          # doubling case
+        (P, P),          # doubling case (complete formulas, no branch)
         (P, eng.g1.neg(P)),  # P + (-P) = inf
         (None, Q),       # inf + Q
         (P, None),       # P + inf
@@ -80,15 +83,26 @@ def test_scalar_mul_edge_scalars(g1, eng):
         assert R == eng.g1.mul(P, k)
 
 
+def test_scalar_mul_broadcast_single_point(g1, eng):
+    """One point (3, L, 1) against many scalars broadcasts over lanes."""
+    P = _rand_points(eng, 1, seed=12)[0]
+    ks = [3, 19, 1077]
+    out = g1.decode_points(
+        jax.jit(g1.scalar_mul)(g1.encode_point(P), g1.encode_scalars(ks))
+    )
+    for k, R in zip(ks, out):
+        assert R == eng.g1.mul(P, k)
+
+
 def test_mul2(g1, eng):
     rng = random.Random(7)
     P, Q = _rand_points(eng, 2, seed=8)
     e, f = rng.randrange(eng.spec.r), rng.randrange(eng.spec.r)
     out = g1.decode_points(
         jax.jit(g1.mul2)(
-            g1.encode_points([P]),
+            g1.encode_point(P),
             g1.encode_scalars([e]),
-            g1.encode_points([Q]),
+            g1.encode_point(Q),
             g1.encode_scalars([f]),
         )
     )[0]
@@ -101,7 +115,9 @@ def test_eq_neg_sub(g1, eng):
     eqs = np.asarray(jax.jit(g1.eq)(arrP, arrQ))
     assert list(eqs) == [True, False]
     # sub: P - Q == P + (-Q)
-    out = g1.decode_points(jax.jit(g1.sub)(g1.encode_points([P]), g1.encode_points([Q])))
+    out = g1.decode_points(
+        jax.jit(g1.sub)(g1.encode_point(P), g1.encode_point(Q))
+    )
     assert out[0] == eng.g1.add(P, eng.g1.neg(Q))
 
 
@@ -109,13 +125,13 @@ def test_to_affine(g1, eng):
     pts = _rand_points(eng, 2, seed=10) + [None]
     arr = jax.jit(g1.double)(g1.encode_points(pts))  # non-trivial Z
     x, y = jax.jit(g1.to_affine)(arr)
+    xs, ys = g1.fp.decode(np.asarray(x)), g1.fp.decode(np.asarray(y))
     for i, P in enumerate(pts):
         expect = eng.g1.double(P)
-        got = (g1.fp.decode(np.asarray(x)[i]), g1.fp.decode(np.asarray(y)[i]))
         if expect is None:
-            assert got == (0, 0)
+            assert (xs[i], ys[i]) == (0, 0)
         else:
-            assert got == expect
+            assert (xs[i], ys[i]) == expect
 
 
 def test_sum_reduce(g1, eng):
