@@ -1,0 +1,81 @@
+"""Headline benchmark: BLS12-381 G1 MSM points/sec (BASELINE.json north star).
+
+Runs the full Pippenger MSM (Pallas kernels on TPU) at 2^20 points on the
+available device and prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The reference (IBM/mathlib) publishes no numbers ("published": {} in
+BASELINE.json), so vs_baseline is reported against this project's own
+north-star target of 10^6 points/sec/chip for a 2^20 MSM (value/target).
+
+Env knobs: MATHLIB_BENCH_LOGN (default 20), MATHLIB_BENCH_C (window bits,
+default 8), MATHLIB_BENCH_WINCHUNK (default 2).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mathlib_tpu.curves.params import get_spec
+    from mathlib_tpu.ops.g1 import get_g1_ctx
+    from mathlib_tpu.ops.msm import msm
+
+    logn = int(os.environ.get("MATHLIB_BENCH_LOGN", "20"))
+    c = int(os.environ.get("MATHLIB_BENCH_C", "8"))
+    win_chunk = int(os.environ.get("MATHLIB_BENCH_WINCHUNK", "2"))
+    n = 1 << logn
+
+    spec = get_spec("BLS12_381")
+    g1 = get_g1_ctx(spec)
+    rng = np.random.default_rng(0)
+
+    # Inputs: distinct random scalars; points = tiled multiples of the
+    # generator.  All kernels are constant-time in the point values, so
+    # timing is representative; correctness of the pipeline itself is
+    # pinned by tests/test_device_msm.py against the exact host engine.
+    base = jax.jit(g1.scalar_mul)(
+        jnp.asarray(g1.gen),
+        g1.encode_scalars([int.from_bytes(rng.bytes(31), "big") % spec.r
+                           for _ in range(min(n, 128))]),
+    )
+    reps = -(-n // base.shape[-1])
+    points = jnp.tile(base, (1, 1, reps))[..., :n]
+    scalars = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(g1.fr.L, n), dtype=np.uint32)
+    )
+
+    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, win_chunk=win_chunk))
+    r = f(points, scalars)
+    np.asarray(r)  # compile + warm (also forces completion)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        r = f(points, scalars)
+        np.asarray(r)
+        times.append(time.time() - t0)
+    dt = min(times)
+    pps = n / dt
+
+    target = 1e6  # north-star: 1M points/s/chip at 2^20
+    print(
+        json.dumps(
+            {
+                "metric": f"bls12381_g1_msm_2^{logn}_points_per_sec",
+                "value": round(pps, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pps / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

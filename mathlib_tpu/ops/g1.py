@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves.params import CurveSpec
+from . import field, weier
 from .field import FpCtx, get_fp_ctx, int_to_limbs, LIMB_BITS
-from . import weier
 
 Array = jax.Array
 
@@ -150,12 +150,37 @@ class G1Ctx:
         return P[..., 0, :, :], P[..., 1, :, :], P[..., 2, :, :]
 
     def double(self, P: Array) -> Array:
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import double_pallas
+
+            return double_pallas(self.spec.p, self.fp.L, self.F.b3, P)
         X3, Y3, Z3 = weier.double_complete(self.F, self._unstack(P))
         return jnp.stack([X3, Y3, Z3], axis=-3)
 
     def add(self, P: Array, Q: Array) -> Array:
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import add_pallas
+
+            return add_pallas(self.spec.p, self.fp.L, self.F.b3, P, Q)
         X3, Y3, Z3 = weier.add_complete(self.F, self._unstack(P), self._unstack(Q))
         return jnp.stack([X3, Y3, Z3], axis=-3)
+
+    def dbl_add_select(self, P: Array, Q: Array, sel: Array) -> Array:
+        """select(sel, 2P + Q, 2P) — the scalar-mul inner step, fused on TPU."""
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import dbladd_pallas
+
+            return dbladd_pallas(self.spec.p, self.fp.L, self.F.b3, P, Q, sel)
+        acc = self.double(P)
+        return self.select(sel, self.add(acc, Q), acc)
+
+    def add_select(self, P: Array, Q: Array, sel: Array) -> Array:
+        """select(sel, P + Q, Q) — the segmented-scan combiner, fused on TPU."""
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import addsel_pallas
+
+            return addsel_pallas(self.spec.p, self.fp.L, self.F.b3, P, Q, sel)
+        return self.select(sel, self.add(P, Q), Q)
 
     def sub(self, P: Array, Q: Array) -> Array:
         return self.add(P, self.neg(Q))
@@ -186,9 +211,7 @@ class G1Ctx:
 
         def body(acc, t):
             bit = self._scalar_bit(scalars, nbits - 1 - t)
-            acc = self.double(acc)
-            added = self.add(acc, P)
-            acc = self.select(bit.astype(bool), added, acc)
+            acc = self.dbl_add_select(acc, P, bit.astype(bool))
             return acc, None
 
         acc, _ = jax.lax.scan(body, acc0, jnp.arange(nbits))

@@ -1,0 +1,274 @@
+"""Fused Pallas kernels for the complete projective group law.
+
+One kernel launch = one full RCB point addition (or doubling): all 12 field
+multiplies, the REDC reductions, and every intermediate stay in VMEM /
+vector registers.  Compared to composing per-op kernels this removes ~30
+HBM round-trips per point operation, which is what makes the MSM bucket
+accumulation compute-bound.
+
+Points are (3, L, B) uint32 (projective, Montgomery, relaxed [0,2p)),
+reshaped to (3, L, M, 128) tiles for the grid.  Formulas are RCB
+(eprint 2015/1060, Algs 7 & 9, a=0) — identical math to ops/weier.py, so
+the kernel is bit-compatible with the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fp_rows import RowCtx
+
+TILE_SUBLANES = 8
+TILE = TILE_SUBLANES * 128
+
+
+def _read_point(ref, L):
+    return tuple([ref[c, i] for i in range(L)] for c in range(3))
+
+
+def _write_point(ref, P, L):
+    for c in range(3):
+        for i in range(L):
+            ref[c, i] = P[c][i]
+
+
+def _add_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, o_ref):
+    """RCB Algorithm 7 (a=0), complete addition."""
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+    X2, Y2, Z2 = _read_point(q_ref, L)
+
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    ln = F.sub(ln, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    X3 = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    Y3 = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    Z3 = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    _write_point(o_ref, (X3, Y3, Z3), L)
+
+
+def _double_kernel(ctx: RowCtx, b3: int, p_ref, o_ref):
+    """RCB Algorithm 9 (a=0), exception-free doubling."""
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+
+    t0 = F.mul(Y1, Y1)
+    z3t = F.mul_small(t0, 8)
+    t1 = F.mul(Y1, Z1)
+    t2 = F.mul_small(F.mul(Z1, Z1), b3)
+    y3t = F.add(t0, t2)
+    t2_3 = F.add(F.add(t2, t2), t2)
+    t0m = F.sub(t0, t2_3)
+    X3 = F.mul(t0m, F.mul(X1, Y1))
+    X3 = F.add(X3, X3)
+    Y3 = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
+    Z3 = F.mul(t1, z3t)
+    _write_point(o_ref, (X3, Y3, Z3), L)
+
+
+def _dbladd_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref):
+    """Fused scalar-mul step: out = select(sel, 2*P + Q, 2*P).
+
+    Saves a full kernel launch + point round-trip per scalar bit.
+    """
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+
+    # double (Alg 9)
+    t0 = F.mul(Y1, Y1)
+    z3t = F.mul_small(t0, 8)
+    t1 = F.mul(Y1, Z1)
+    t2 = F.mul_small(F.mul(Z1, Z1), b3)
+    y3t = F.add(t0, t2)
+    t2_3 = F.add(F.add(t2, t2), t2)
+    t0m = F.sub(t0, t2_3)
+    DX = F.mul(t0m, F.mul(X1, Y1))
+    DX = F.add(DX, DX)
+    DY = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
+    DZ = F.mul(t1, z3t)
+
+    # add Q (Alg 7)
+    X2, Y2, Z2 = _read_point(q_ref, L)
+    t0 = F.mul(DX, X2)
+    t1 = F.mul(DY, Y2)
+    t2 = F.mul(DZ, Z2)
+    t3 = F.mul(F.add(DX, DY), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(DY, DZ), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    ln = F.mul(F.add(DX, DZ), F.add(X2, Z2))
+    ln = F.sub(ln, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+
+    sel = sel_ref[0] != 0  # (TS, 128) bool
+    out = tuple(
+        [jnp.where(sel, A[i], D[i]) for i in range(L)]
+        for A, D in ((AX, DX), (AY, DY), (AZ, DZ))
+    )
+    _write_point(o_ref, out, L)
+
+
+def _addsel_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref):
+    """Fused segmented-scan step: out = select(sel, P + Q, Q).
+
+    The MSM bucket-accumulation combiner (msm._segment_scan) in one launch.
+    """
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+    X2, Y2, Z2 = _read_point(q_ref, L)
+
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    ln = F.sub(ln, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+
+    sel = sel_ref[0] != 0
+    out = tuple(
+        [jnp.where(sel, A[i], B[i]) for i in range(L)]
+        for A, B in ((AX, X2), (AY, Y2), (AZ, Z2))
+    )
+    _write_point(o_ref, out, L)
+
+
+def _point_spec(L):
+    return pl.BlockSpec(
+        (3, L, TILE_SUBLANES, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM
+    )
+
+
+@lru_cache(maxsize=None)
+def _build(p: int, L: int, b3: int, which: str, interpret: bool):
+    ctx = RowCtx(p, L)
+    spec = _point_spec(L)
+    sel_spec = pl.BlockSpec(
+        (1, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+    )
+
+    if which == "add":
+        kernel = partial(_add_kernel, ctx, b3)
+        specs = [spec, spec]
+    elif which == "double":
+        kernel = partial(_double_kernel, ctx, b3)
+        specs = [spec]
+    elif which == "dbladd":
+        kernel = partial(_dbladd_kernel, ctx, b3)
+        specs = [spec, spec, sel_spec]
+    elif which == "addsel":
+        kernel = partial(_addsel_kernel, ctx, b3)
+        specs = [spec, spec, sel_spec]
+    else:  # pragma: no cover
+        raise ValueError(which)
+
+    @jax.jit
+    def run(*args):
+        M = args[0].shape[2]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(args[0].shape, jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=specs,
+            out_specs=spec,
+            interpret=interpret,
+        )(*args)
+
+    return run
+
+
+def _to_tiles(P):
+    """(..., 3, L, B) -> ((3, L, M, 128), restore_fn)."""
+    shape = P.shape
+    lead = shape[:-3]
+    B = shape[-1]
+    P2 = jnp.moveaxis(P, (-3, -2), (0, 1)).reshape(shape[-3], shape[-2], -1)
+    tot = P2.shape[-1]
+    pad = (-tot) % TILE
+    if pad:
+        P2 = jnp.pad(P2, [(0, 0), (0, 0), (0, pad)])
+    M = P2.shape[-1] // 128
+    P3 = P2.reshape(shape[-3], shape[-2], M, 128)
+
+    def restore(out):
+        out = out.reshape(shape[-3], shape[-2], M * 128)[..., :tot]
+        return jnp.moveaxis(out.reshape(shape[-3:-1] + lead + (B,)), (0, 1), (-3, -2))
+
+    return P3, restore
+
+
+def add_pallas(p, L, b3, P, Q, interpret=False):
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    return restore(_build(p, L, b3, "add", interpret)(P3, Q3))
+
+
+def double_pallas(p, L, b3, P, interpret=False):
+    P3, restore = _to_tiles(P)
+    return restore(_build(p, L, b3, "double", interpret)(P3))
+
+
+def _sel_tiles(sel, P):
+    sel = jnp.broadcast_to(sel, P.shape[:-3] + P.shape[-1:])
+    s2 = sel.reshape(1, -1).astype(jnp.uint32)
+    pad = (-s2.shape[-1]) % TILE
+    if pad:
+        s2 = jnp.pad(s2, [(0, 0), (0, pad)])
+    return s2.reshape(1, -1, 128)
+
+
+def dbladd_pallas(p, L, b3, P, Q, sel, interpret=False):
+    """select(sel, 2P + Q, 2P) for sel (..., B) bool."""
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    s3 = _sel_tiles(sel, P)
+    return restore(_build(p, L, b3, "dbladd", interpret)(P3, Q3, s3))
+
+
+def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
+    """select(sel, P + Q, Q) for sel (..., B) bool."""
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    s3 = _sel_tiles(sel, P)
+    return restore(_build(p, L, b3, "addsel", interpret)(P3, Q3, s3))

@@ -6,21 +6,22 @@ bls12-381.go:247-254).  Neither shape survives on a TPU: bucket scatter-add
 is a data-dependent histogram.  Here it becomes:
 
   1. windowed digit decomposition of all scalars (vector ops),
-  2. per window: sort point indices by digit (XLA sort),
-  3. segmented reduction of the sorted points with a work-optimal chunked
-     scan (``_segment_scan``): one ``lax.scan`` over chunk-interleaved
-     lanes plus a recursive cross-chunk carry fix — no branches, O(levels)
-     graph size,
-  4. scatter the per-segment totals into the bucket table (unique indices),
-  5. weighted bucket sum with the running-sum trick (one ``lax.scan`` over
-     buckets, vectorized across windows),
+  2. per window: sort point indices by digit (XLA sort, u32 keys),
+  3. one streaming ``lax.scan`` over K chunk steps: each step gathers one
+     sorted slice of points for ALL windows, advances the segmented
+     running sums with the fused add_select kernel, and scatters finished
+     segments straight into the bucket table — no (W, N)-sized
+     intermediates, no transposes, O(1) graph size,
+  4. cross-chunk segment carries are resolved by a recursive segmented
+     scan over the chunk summaries (1/K the data) and patched into the
+     bucket table,
+  5. weighted bucket sum via bit/byte decomposition of the bucket index:
+     masked tree-reductions (log-depth, full-lane) instead of a 2^c-step
+     serial scan,
   6. Horner recombination over windows (c doublings + 1 add per window).
 
-Layout: points are (3, L, N) with the batch N on lanes; all point data
-gathers/scans move along the lane axis only.
-
-Memory is bounded by processing windows in chunks (``lax.map``), since the
-sorted point gather materializes (chunk, 3, L, N).
+Layout: points are (3, L, N) with the batch N on lanes; everything moves
+along the lane axis only.
 
 Correctness oracle: MSM == naive fold, as pinned by the reference
 (math_test.go:323-346).
@@ -52,17 +53,11 @@ def _digits(scalars: Array, c: int, nwin: int) -> Array:
     return jnp.stack(wins, axis=0)
 
 
-def _segment_scan(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
+def _seg_scan_inclusive(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
     """Inclusive segmented point-sum scan along the last (lane) axis.
 
-    keys: (..., N) sorted; pts: (..., 3, L, N).  Returns (..., 3, L, N)
-    where lane i holds the sum of all pts in i's key-segment up to i.
-
-    Chunked scheme: split the sorted order into C contiguous chunks of K,
-    lay the chunks out along lanes, run ONE ``lax.scan`` of K steps (graph:
-    a single point-add), then recurse on the C chunk summaries to produce
-    cross-chunk carries, added to every lane of each chunk's first segment.
-    Total work ~N(1 + 1/K + ...) point-adds with an O(levels) graph.
+    keys: (..., N) sorted; pts: (..., 3, L, N).  Returns (..., 3, L, N).
+    Used for the (small) chunk-summary levels of the bucket accumulation.
     """
     batch = keys.shape[:-1]
     N = keys.shape[-1]
@@ -80,12 +75,8 @@ def _segment_scan(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
         C, K = 1, N
         pad = 0
 
-    # chunk c covers sorted lanes [cK, (c+1)K); scan step t touches lane
-    # c*K + t of every chunk -> reshape (..., C, K) and put K first
     k2 = jnp.moveaxis(keys.reshape(batch + (C, K)), -1, 0)  # (K, ..., C)
-    p2 = jnp.moveaxis(
-        pts.reshape(batch + (3, L, C, K)), -1, 0
-    )  # (K, ..., 3, L, C)
+    p2 = jnp.moveaxis(pts.reshape(batch + (3, L, C, K)), -1, 0)
 
     init = (
         jnp.full(batch + (C,), _SENTINEL, keys.dtype),
@@ -95,72 +86,156 @@ def _segment_scan(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
     def body(carry, x):
         ck, cp = carry
         k, p = x
-        run = g1.select(k == ck, g1.add(cp, p), p)
+        run = g1.add_select(cp, p, k == ck)
         return (k, run), run
 
-    (_, _), local = jax.lax.scan(body, init, (k2, p2))  # (K, ..., 3, L, C)
+    (_, _), local = jax.lax.scan(body, init, (k2, p2))
     local = jnp.moveaxis(local, 0, -1).reshape(batch + (3, L, C * K))
     keys_c = keys.reshape(batch + (C, K))
 
     if C > 1:
-        # summaries: last key / last running of each chunk
-        sum_keys = keys_c[..., -1]  # (..., C)
+        sum_keys = keys_c[..., -1]
         sum_pts = jnp.moveaxis(local.reshape(batch + (3, L, C, K)), -1, 0)[-1]
-        inc = _segment_scan(g1, sum_keys, sum_pts, K)  # (..., 3, L, C)
-        # exclusive carries, valid where previous chunk's last key matches
+        inc = _seg_scan_inclusive(g1, sum_keys, sum_pts, K)
         carry_pt = jnp.roll(inc, 1, axis=-1)
         carry_key = jnp.roll(sum_keys, 1, axis=-1)
         valid = carry_key == keys_c[..., 0]
         valid = valid.at[..., 0].set(False)
-        first_seg = keys_c == keys_c[..., :1]  # (..., C, K)
+        first_seg = keys_c == keys_c[..., :1]
         mask = jnp.logical_and(first_seg, valid[..., None]).reshape(batch + (C * K,))
-        carry_full = jnp.repeat(carry_pt, K, axis=-1)  # (..., 3, L, C*K)
-        fixed = g1.add(local, carry_full)
-        local = g1.select(mask, fixed, local)
+        carry_full = jnp.repeat(carry_pt, K, axis=-1)
+        local = g1.add_select(carry_full, local, mask)
 
     return local[..., :N] if pad else local
 
 
-def _bucket_totals(g1: G1Ctx, points: Array, digits: Array, c: int) -> Array:
-    """Per-window bucket-weighted sums.
+def _bucket_table(
+    g1: G1Ctx, points: Array, digits: Array, c: int, K: int = 64
+) -> Array:
+    """Bucket sums for all windows: (3, L, W, B) with B = 2^c.
 
-    points: (3, L, N); digits: (W, N) in [0, 2^c).  Returns (3, L, W) with
-    T_w = sum_b b * S_{w,b} where S_{w,b} is the sum of points with digit b.
+    points: (3, L, N); digits: (W, N).  Streaming scatter-during-scan: the
+    full point set is touched exactly once per window (gather + one fused
+    add_select), and finished segments go straight into the bucket table.
     """
     W, N = digits.shape
     L = points.shape[-2]
     B = 1 << c
-    order = jnp.argsort(digits, axis=1)  # (W, N)
-    keys = jnp.take_along_axis(digits, order, axis=1)  # sorted digits
-    pts = jnp.moveaxis(points[..., order], -2, 0)  # (W, 3, L, N)
 
-    seg = _segment_scan(g1, keys, pts)  # (W, 3, L, N)
-    # last element of each segment holds that bucket's full sum
+    order = jnp.argsort(digits, axis=1)  # (W, N)
+    keys = jnp.take_along_axis(digits, order, axis=1)  # sorted
+
+    pad = (-N) % K
+    NP = N + pad
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((W, pad), _SENTINEL, keys.dtype)], axis=1
+        )
+        order = jnp.concatenate(
+            [order, jnp.zeros((W, pad), order.dtype)], axis=1
+        )  # gathered points for sentinel keys are never used
+    C = NP // K
+
+    # last element of each segment (flat sorted order) -> scatter target
     is_last = jnp.concatenate(
         [keys[:, :-1] != keys[:, 1:], jnp.ones((W, 1), dtype=bool)], axis=1
     )
-    win_ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.uint32)[:, None], (W, N))
-    flat_idx = jnp.where(is_last, win_ids * B + keys, W * B)  # W*B = dropped
-    seg_flat = jnp.moveaxis(seg, 0, -2).reshape(3, L, W * N)
-    inf = jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * B))
-    buckets = inf.at[..., flat_idx.reshape(-1)].set(seg_flat, mode="drop")
-    buckets = buckets.reshape(3, L, W, B)
-
-    # running-sum trick: sum_{b=1}^{B-1} b * S_b, scanning b = B-1 .. 1
-    init = (
-        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W)),
-        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W)),
+    win_ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.uint32)[:, None], (W, NP))
+    scatter_idx = jnp.where(
+        jnp.logical_and(is_last, keys < B), win_ids * B + keys, W * B
     )
 
-    def body(carry, bucket_b):
-        running, total = carry
-        running = g1.add(running, bucket_b)
-        total = g1.add(total, running)
-        return (running, total), None
+    def to_steps(x):  # (W, NP) -> (K, W*C), step-major
+        return jnp.moveaxis(x.reshape(W, C, K), -1, 0).reshape(K, W * C)
 
-    rev = jnp.moveaxis(jnp.flip(buckets[..., 1:], axis=-1), -1, 0)  # (B-1, 3, L, W)
-    (running, total), _ = jax.lax.scan(body, init, rev)
-    return total  # (3, L, W)
+    keys_t = to_steps(keys)
+    order_t = to_steps(order)
+    sidx_t = to_steps(scatter_idx)
+
+    init = (
+        jnp.full((W * C,), _SENTINEL, keys.dtype),
+        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
+        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * B)),
+    )
+
+    def body(carry, x):
+        ck, cp, buckets = carry
+        k, o, si = x
+        p = points[..., o]  # streaming gather (3, L, W*C)
+        run = g1.add_select(cp, p, k == ck)
+        buckets = buckets.at[..., si].set(run, mode="drop")
+        return (k, run, buckets), None
+
+    (_, final_run, buckets), _ = jax.lax.scan(
+        body, init, (keys_t, order_t, sidx_t)
+    )
+
+    if C > 1:
+        # cross-chunk carries from the chunk summaries (1/K the data)
+        keys_c = keys.reshape(W, C, K)
+        sum_keys = keys_c[..., -1]  # (W, C)
+        sum_pts = jnp.moveaxis(final_run.reshape(3, L, W, C), -2, 0)  # (W,3,L,C)
+        inc = _seg_scan_inclusive(g1, sum_keys, sum_pts, K)  # (W, 3, L, C)
+        carry_pt = jnp.roll(inc, 1, axis=-1)
+        carry_key = jnp.roll(sum_keys, 1, axis=-1)
+        first_key = keys_c[..., 0]  # (W, C)
+        valid = carry_key == first_key
+        valid = valid.at[..., 0].set(False)
+        # the carried-into segment must END within this chunk for its bucket
+        # entry to have been scattered from here
+        next_first = jnp.concatenate(
+            [first_key[:, 1:], jnp.full((W, 1), _SENTINEL, keys.dtype)], axis=1
+        )
+        ends_here = first_key != next_first
+        fix = jnp.logical_and(jnp.logical_and(valid, ends_here), first_key < B)
+        tgt = jnp.where(fix, win_ids[:, :C] * B + first_key, W * B).reshape(-1)
+        cur = buckets[..., jnp.minimum(tgt, W * B - 1)]  # (3, L, W*C)
+        carry_flat = jnp.moveaxis(carry_pt, 0, -2).reshape(3, L, W * C)
+        fixed = g1.add(cur, carry_flat)
+        buckets = buckets.at[..., tgt].set(fixed, mode="drop")
+
+    return buckets.reshape(3, L, W, B)
+
+
+def _weighted_bucket_sum(g1: G1Ctx, buckets: Array, c: int) -> Array:
+    """sum_{b=1}^{B-1} b * S_b per window: (3, L, W, B) -> (3, L, W).
+
+    Bit decomposition: sum_b b*S_b = sum_k 2^k * (sum_{b: bit k} S_b).
+    Each inner sum is a masked lane tree-reduction (log B levels of
+    full-width adds); the outer combination is a tiny Horner.  O(c log B)
+    batched launches instead of a 2^c-step serial scan.
+    """
+    L = buckets.shape[1]
+    W, B = buckets.shape[-2], buckets.shape[-1]
+    inf = jnp.asarray(g1.inf)
+    bidx = jnp.arange(B, dtype=jnp.uint32)
+
+    bit_sums = []
+    for k in range(c):
+        mask = ((bidx >> k) & 1) == 1  # (B,)
+        masked = g1.select(
+            jnp.broadcast_to(mask, (W, B)).reshape(-1),
+            buckets.reshape(3, L, W * B),
+            jnp.broadcast_to(inf, (3, L, W * B)),
+        ).reshape(3, L, W, B)
+        # tree-reduce over the bucket axis (lanes)
+        x = masked.reshape(3, L, W * B)
+        n = B
+        while n > 1:
+            half = n // 2
+            x4 = x.reshape(3, L, W, n)
+            x = g1.add(
+                x4[..., :half].reshape(3, L, W * half),
+                x4[..., half : 2 * half].reshape(3, L, W * half),
+            )
+            n = half
+        bit_sums.append(x.reshape(3, L, W))  # (3, L, W)
+
+    # Horner over bits, high to low: acc = 2*acc + T_k
+    acc = bit_sums[-1]
+    for k in range(c - 2, -1, -1):
+        acc = g1.add(g1.double(acc), bit_sums[k])
+    return acc
 
 
 def msm(
@@ -168,32 +243,21 @@ def msm(
     points: Array,
     scalars: Array,
     c: int = 8,
-    win_chunk: Optional[int] = None,
+    win_chunk: Optional[int] = None,  # kept for API compat; unused
 ) -> Array:
     """Pippenger MSM: sum_i [scalars_i] points_i.
 
     points: (3, L, N) projective; scalars: (S, N) plain 16-bit limbs.
     ``c`` must divide 16.  Returns a single (3, L, 1) point.
     """
+    del win_chunk
     assert LIMB_BITS % c == 0
     nbits = g1.nbits
     nwin = -(-nbits // c)
     digits = _digits(scalars, c, nwin)  # (nwin, N)
 
-    if win_chunk is None:
-        win_chunk = max(1, min(nwin, 4))
-    # pad nwin to a multiple of win_chunk with zero-digit windows (no-ops)
-    pad = (-nwin) % win_chunk
-    if pad:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((pad, digits.shape[1]), digits.dtype)], axis=0
-        )
-    groups = digits.reshape(-1, win_chunk, digits.shape[1])
-
-    totals = jax.lax.map(
-        lambda d: _bucket_totals(g1, points, d, c), groups
-    )  # (groups, 3, L, win_chunk)
-    totals = jnp.moveaxis(totals, 0, -2).reshape(3, g1.fp.L, -1)[..., :nwin]
+    buckets = _bucket_table(g1, points, digits, c)  # (3, L, nwin, B)
+    totals = _weighted_bucket_sum(g1, buckets, c)  # (3, L, nwin)
 
     # Horner over windows, high to low: acc = 2^c acc + T_w
     def horner(acc, t_w):

@@ -1,0 +1,387 @@
+"""Batched tower-field arithmetic on device: Fp2, Fp6, Fp12.
+
+Layout (lane batch B last, limbs on sublanes):
+    Fp2:  (..., 2, L, B)          c0 + c1*u,  u^2 = beta
+    Fp6:  (..., 3, 2, L, B)       a0 + a1*v + a2*v^2,  v^3 = xi
+    Fp12: (..., 2, 3, 2, L, B)    b0 + b1*w,  w^2 = v
+
+Matches the host tower (host/fields.py), which is the exactness oracle.
+Multiplications are aggressively *stacked*: a full Fp12 Karatsuba multiply
+flattens to a single width-18 Fp2 multiply = a single width-54 base-field
+Montgomery multiply — one Pallas launch on TPU.
+
+Replaces the reference's per-backend extension-field code reached through
+gnark/kilic (e.g. driver/gurvy/bls12381/bls12-381.go:448-468 pairing path).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.params import CurveSpec
+from ..host.fields import get_tower as get_host_tower
+from .field import FpCtx, get_fp_ctx, bits_of
+
+Array = jax.Array
+
+
+class TowerCtx:
+    def __init__(self, spec: CurveSpec):
+        self.spec = spec
+        self.fp: FpCtx = get_fp_ctx(spec.p, spec.name)
+        self.host = get_host_tower(spec)
+        p = spec.p
+        self.beta = spec.beta  # int mod p (a small negative residue)
+        x0, x1 = spec.xi
+        assert x1 == 1, "tower assumes xi = x0 + u"
+        self.xi0 = x0
+        # Frobenius constants gamma[n][j][k] for coefficient (v^j w^k),
+        # n in {1,2,3}: (v^j w^k)^(p^n) = gamma * v^j w^k; computed on the
+        # exact host tower.
+        t = self.host
+        self.frob_gamma = {}
+        for n in (1, 2, 3):
+            gam = np.empty((3, 2), dtype=object)
+            for j in range(3):
+                for k in range(2):
+                    # basis element v^j w^k as f12
+                    c6 = [[(0, 0)] * 3 for _ in range(2)]
+                    c6[k][j] = (1, 0)
+                    e = (tuple(map(tuple, c6[0])), tuple(map(tuple, c6[1])))
+                    fe = t.f12_frob(e, n)
+                    coef = fe[k][j]
+                    gam[j, k] = coef
+            self.frob_gamma[n] = gam
+
+    # ---------------------------------------------------------------- Fp2 ---
+    def f2_encode(self, a: Tuple[int, int]) -> np.ndarray:
+        return np.stack([self.fp.encode(a[0]), self.fp.encode(a[1])])
+
+    def f2_decode(self, arr) -> list:
+        """(2, L, B) -> list of (c0, c1) host pairs."""
+        d = self.fp.decode(np.asarray(arr))  # (2, B)
+        return [(d[0][i], d[1][i]) for i in range(d.shape[-1])]
+
+    @property
+    def f2_one(self) -> np.ndarray:
+        return self.f2_encode((1, 0))
+
+    @property
+    def f2_zero(self) -> np.ndarray:
+        return self.f2_encode((0, 0))
+
+    def _c(self, a: Array, i: int) -> Array:
+        return a[..., i, :, :]
+
+    def f2_add(self, a, b):
+        return self.fp.add(a, b)  # elementwise over the (2,) axis
+
+    def f2_sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def f2_neg(self, a):
+        return self.fp.neg(a)
+
+    def f2_conj(self, a):
+        return jnp.stack(
+            [self._c(a, 0), self.fp.neg(self._c(a, 1))], axis=-3
+        )
+
+    def f2_mul(self, a, b):
+        """Karatsuba: 3 base muls, stacked into one call."""
+        fp = self.fp
+        a0, a1 = self._c(a, 0), self._c(a, 1)
+        b0, b1 = self._c(b, 0), self._c(b, 1)
+        lhs = jnp.stack([a0, a1, fp.add(a0, a1)], axis=-3)
+        rhs = jnp.stack([b0, b1, fp.add(b0, b1)], axis=-3)
+        m = fp.mont_mul(lhs, rhs)
+        t0, t1, t2 = m[..., 0, :, :], m[..., 1, :, :], m[..., 2, :, :]
+        c0 = fp.add(t0, fp.mul_int(t1, self.beta))
+        c1 = fp.sub(t2, fp.add(t0, t1))
+        return jnp.stack([c0, c1], axis=-3)
+
+    def f2_sqr(self, a):
+        return self.f2_mul(a, a)
+
+    def f2_mul_fp(self, a, s):
+        """a * s with s a base-field element (..., L, B)."""
+        return self.fp.mont_mul(a, s[..., None, :, :])
+
+    def f2_mul_xi(self, a):
+        """a * (xi0 + u):  (xi0*a0 + beta*a1, xi0*a1 + a0)."""
+        fp = self.fp
+        a0, a1 = self._c(a, 0), self._c(a, 1)
+        c0 = fp.add(fp.mul_int(a0, self.xi0), fp.mul_int(a1, self.beta))
+        c1 = fp.add(fp.mul_int(a1, self.xi0), a0)
+        return jnp.stack([c0, c1], axis=-3)
+
+    def f2_inv(self, a):
+        """1/a via the norm: (a0 - a1 u)/(a0^2 - beta a1^2)."""
+        fp = self.fp
+        a0, a1 = self._c(a, 0), self._c(a, 1)
+        sq = fp.sqr(jnp.stack([a0, a1], axis=-3))
+        norm = fp.sub(
+            sq[..., 0, :, :], fp.mul_int(sq[..., 1, :, :], self.beta)
+        )
+        ninv = fp.inv(norm)
+        m = fp.mont_mul(jnp.stack([a0, a1], axis=-3), ninv[..., None, :, :])
+        return jnp.stack(
+            [m[..., 0, :, :], fp.neg(m[..., 1, :, :])], axis=-3
+        )
+
+    def f2_is_zero(self, a):
+        return jnp.logical_and(
+            self.fp.is_zero(self._c(a, 0)), self.fp.is_zero(self._c(a, 1))
+        )
+
+    def f2_eq(self, a, b):
+        return self.f2_is_zero(self.f2_sub(a, b))
+
+    def f2_select(self, mask, a, b):
+        return jnp.where(mask[..., None, None, :], a, b)
+
+    def f2_mul_const(self, a, c: Tuple[int, int]):
+        """a * (c0 + c1 u) for a host constant (general Fp2 constant)."""
+        const = jnp.asarray(self.f2_encode(c))
+        return self.f2_mul(a, const)
+
+    # ---------------------------------------------------------------- Fp6 ---
+    def _v(self, a: Array, i: int) -> Array:
+        return a[..., i, :, :, :]
+
+    def f6_encode(self, a) -> np.ndarray:
+        return np.stack([self.f2_encode(c) for c in a])
+
+    @property
+    def f6_zero(self):
+        return self.f6_encode(((0, 0),) * 3)
+
+    @property
+    def f6_one(self):
+        return self.f6_encode(((1, 0), (0, 0), (0, 0)))
+
+    def f6_add(self, a, b):
+        return self.fp.add(a, b)
+
+    def f6_sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def f6_neg(self, a):
+        return self.fp.neg(a)
+
+    def f6_mul(self, a, b):
+        """Toom/Karatsuba: 6 Fp2 muls, stacked into one f2_mul call."""
+        f2a, f2s = self.f2_add, self.f2_sub
+        a0, a1, a2 = (self._v(a, i) for i in range(3))
+        b0, b1, b2 = (self._v(b, i) for i in range(3))
+        lhs = jnp.stack(
+            [a0, a1, a2, f2a(a1, a2), f2a(a0, a1), f2a(a0, a2)], axis=-4
+        )
+        rhs = jnp.stack(
+            [b0, b1, b2, f2a(b1, b2), f2a(b0, b1), f2a(b0, b2)], axis=-4
+        )
+        m = self.f2_mul(lhs, rhs)
+        t0, t1, t2, m12, m01, m02 = (m[..., i, :, :, :] for i in range(6))
+        c0 = f2a(t0, self.f2_mul_xi(f2s(f2s(m12, t1), t2)))
+        c1 = f2a(f2s(f2s(m01, t0), t1), self.f2_mul_xi(t2))
+        c2 = f2a(f2s(f2s(m02, t0), t2), t1)
+        return jnp.stack([c0, c1, c2], axis=-4)
+
+    def f6_sqr(self, a):
+        return self.f6_mul(a, a)
+
+    def f6_mul_v(self, a):
+        """a * v: (xi*a2, a0, a1)."""
+        return jnp.stack(
+            [self.f2_mul_xi(self._v(a, 2)), self._v(a, 0), self._v(a, 1)],
+            axis=-4,
+        )
+
+    def f6_inv(self, a):
+        m, s, mx = self.f2_mul, self.f2_sub, self.f2_mul_xi
+        a0, a1, a2 = (self._v(a, i) for i in range(3))
+        c0 = s(m(a0, a0), mx(m(a1, a2)))
+        c1 = s(mx(m(a2, a2)), m(a0, a1))
+        c2 = s(m(a1, a1), m(a0, a2))
+        norm = self.f2_add(
+            m(a0, c0), mx(self.f2_add(m(a2, c1), m(a1, c2)))
+        )
+        ninv = self.f2_inv(norm)
+        stack = jnp.stack([c0, c1, c2], axis=-4)
+        return self.f2_mul(stack, ninv[..., None, :, :, :])
+
+    # --------------------------------------------------------------- Fp12 ---
+    def f12_encode(self, a) -> np.ndarray:
+        return np.stack([self.f6_encode(c) for c in a])
+
+    def f12_decode(self, arr) -> list:
+        """(2, 3, 2, L, B) -> list of host Fp12 tuples."""
+        d = self.fp.decode(np.asarray(arr))  # (2, 3, 2, B)
+        out = []
+        for i in range(d.shape[-1]):
+            out.append(
+                tuple(
+                    tuple((d[h, j, 0, i], d[h, j, 1, i]) for j in range(3))
+                    for h in range(2)
+                )
+            )
+        return out
+
+    @property
+    def f12_one(self):
+        return self.f12_encode(self.host.F12_ONE)
+
+    @property
+    def f12_zero(self):
+        return self.f12_encode(self.host.F12_ZERO)
+
+    def _h(self, a, i):
+        return a[..., i, :, :, :, :]
+
+    def f12_add(self, a, b):
+        return self.fp.add(a, b)
+
+    def f12_sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def f12_neg(self, a):
+        return self.fp.neg(a)
+
+    def f12_conj(self, a):
+        return jnp.stack(
+            [self._h(a, 0), self.f6_neg(self._h(a, 1))], axis=-5
+        )
+
+    def f12_mul(self, a, b):
+        """Karatsuba over Fp6: 3 f6 muls, stacked into one f6_mul call."""
+        a0, a1 = self._h(a, 0), self._h(a, 1)
+        b0, b1 = self._h(b, 0), self._h(b, 1)
+        lhs = jnp.stack([a0, a1, self.f6_add(a0, a1)], axis=-5)
+        rhs = jnp.stack([b0, b1, self.f6_add(b0, b1)], axis=-5)
+        m = self.f6_mul(lhs, rhs)
+        t0, t1, ts = (m[..., i, :, :, :, :] for i in range(3))
+        c0 = self.f6_add(t0, self.f6_mul_v(t1))
+        c1 = self.f6_sub(ts, self.f6_add(t0, t1))
+        return jnp.stack([c0, c1], axis=-5)
+
+    def f12_sqr(self, a):
+        return self.f12_mul(a, a)
+
+    def f12_inv(self, a):
+        a0, a1 = self._h(a, 0), self._h(a, 1)
+        sq = self.f6_sqr(jnp.stack([a0, a1], axis=-5))
+        norm = self.f6_sub(
+            sq[..., 0, :, :, :, :], self.f6_mul_v(sq[..., 1, :, :, :, :])
+        )
+        ninv = self.f6_inv(norm)
+        m = self.f6_mul(
+            jnp.stack([a0, self.f6_neg(a1)], axis=-5),
+            jnp.broadcast_to(
+                ninv[..., None, :, :, :, :],
+                a.shape,
+            ),
+        )
+        return m
+
+    def f12_is_one(self, a):
+        diff = self.f12_sub(a, jnp.asarray(self.f12_one))
+        return jnp.all(
+            jnp.logical_or(
+                jnp.all(diff == 0, axis=-2),
+                jnp.all(diff == jnp.asarray(self.fp.p_limbs), axis=-2),
+            ),
+            axis=(-4, -3, -2),
+        )
+
+    def f12_select(self, mask, a, b):
+        return jnp.where(mask[..., None, None, None, None, :], a, b)
+
+    def f12_frob(self, a, n: int = 1):
+        """a^(p^n) for n in {1,2,3}: conjugate coefficients (n odd) and
+        scale coefficient (j,k) by gamma[n][j][k] (host-derived)."""
+        assert n in (1, 2, 3)
+        gam = self.frob_gamma[n]
+        out_coeffs = []
+        for k in range(2):  # w-power
+            row = []
+            for j in range(3):  # v-power
+                c = a[..., k, j, :, :, :]
+                if n % 2 == 1:
+                    c = self.f2_conj(c)
+                row.append(self.f2_mul_const(c, tuple(gam[j, k])))
+            out_coeffs.append(jnp.stack(row, axis=-4))
+        return jnp.stack(out_coeffs, axis=-5)
+
+    def f12_pow_bits(self, a, bits: np.ndarray):
+        """a**e via square-and-multiply scan (bits little-endian, static)."""
+        one = jnp.broadcast_to(jnp.asarray(self.f12_one), a.shape)
+        bits_arr = jnp.asarray(bits[::-1].copy())
+
+        def body(acc, bit):
+            acc = self.f12_sqr(acc)
+            hit = self.f12_mul(acc, a)
+            acc = jnp.where(jnp.bool_(bit), hit, acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, one, bits_arr)
+        return out
+
+    # -------------------------------------------------------- final exp -----
+    def f12_final_exp(self, f):
+        """Pairing final exponentiation, matching the host engine
+        (host/fields.py f12_final_exp): easy part by conj/inv/frobenius,
+        hard part as a base-p multi-exponentiation with shared squarings
+        (table lookups on device)."""
+        # easy part: f^(p^6-1) then ^(p^2+1)
+        t = self.f12_mul(self.f12_conj(f), self.f12_inv(f))
+        f = self.f12_mul(self.f12_frob(t, 2), t)
+
+        p = self.spec.p
+        e = self.spec.hard_part_exp
+        digits = []
+        while e:
+            digits.append(e % p)
+            e //= p
+        nd = len(digits)
+        assert nd <= 5, "unexpectedly many base-p digits"
+        # bases: f^(p^i) via frobenius
+        bases = [f]
+        for _ in range(nd - 1):
+            bases.append(self.f12_frob(bases[-1], 1))
+        # table of all subset products: table[s] = prod_{i in s} bases[i]
+        table = [jnp.broadcast_to(jnp.asarray(self.f12_one), f.shape)]
+        for i in range(nd):
+            bit = 1 << i
+            table = table + [self.f12_mul(table[s], bases[i]) for s in range(bit)]
+        table_arr = jnp.stack(table, axis=0)  # (2^nd, ..., 2,3,2,L,B)
+
+        nbits = max(d.bit_length() for d in digits)
+        # per-step subset index, MSB first
+        idx = np.zeros(nbits, dtype=np.int32)
+        for i in range(nbits):
+            bitpos = nbits - 1 - i
+            s = 0
+            for j, d in enumerate(digits):
+                if (d >> bitpos) & 1:
+                    s |= 1 << j
+            idx[i] = s
+        idx_arr = jnp.asarray(idx)
+
+        def body(acc, s):
+            acc = self.f12_sqr(acc)
+            acc = self.f12_mul(acc, jnp.take(table_arr, s, axis=0))
+            return acc, None
+
+        acc0 = jnp.take(table_arr, idx_arr[0], axis=0)
+        acc, _ = jax.lax.scan(body, acc0, idx_arr[1:])
+        return acc
+
+
+@lru_cache(maxsize=None)
+def get_tower_ctx(spec: CurveSpec) -> TowerCtx:
+    return TowerCtx(spec)
