@@ -28,8 +28,8 @@ def main() -> None:
     from mathlib_tpu.ops.msm import msm
 
     logn = int(os.environ.get("MATHLIB_BENCH_LOGN", "20"))
-    c = int(os.environ.get("MATHLIB_BENCH_C", "8"))
-    win_chunk = int(os.environ.get("MATHLIB_BENCH_WINCHUNK", "2"))
+    c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
+    win_chunk = None  # kept as env knob name for compat; streaming MSM
     n = 1 << logn
 
     spec = get_spec("BLS12_381")

@@ -1,0 +1,153 @@
+"""Batched TPU engine: the throughput-oriented API of the framework.
+
+The mathlib-compatible wrapper API (mathlib_tpu.api) mirrors the reference
+one-element-at-a-time interface (math.go).  This module is the TPU-native
+surface: arrays of group elements / scalars, jitted batched kernels, and
+mesh-sharded collectives — the interface a production verifier (batch BLS,
+anonymous-credential issuance, SNARK aggregation) actually wants.
+
+All methods accept/return host objects at the boundary (ints, affine
+tuples) or raw device arrays for composition; jit caches are per-engine.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curves.params import CurveID, CURVE_ID_SPEC, CurveSpec, get_spec
+from .host.engine import get_engine
+from .host.hash_to_curve import get_hasher
+from .ops.g1 import G1Ctx, get_g1_ctx
+from .ops.g2 import G2Ctx, get_g2_ctx
+from .ops.msm import msm, msm_naive
+from .ops.pairing import PairingCtx, get_pairing_ctx
+from .ops.tower import TowerCtx, get_tower_ctx
+
+Array = jax.Array
+
+
+class BatchEngine:
+    """Batched device engine for one curve configuration."""
+
+    def __init__(self, spec: CurveSpec):
+        self.spec = spec
+        self.g1: G1Ctx = get_g1_ctx(spec)
+        self.g2: G2Ctx = get_g2_ctx(spec)
+        self.tw: TowerCtx = get_tower_ctx(spec)
+        self.pair: PairingCtx = get_pairing_ctx(spec)
+        self.host = get_engine(spec)
+        self._jit = {}
+
+    @classmethod
+    def for_curve(cls, curve_id: CurveID) -> "BatchEngine":
+        return get_batch_engine(get_spec(CURVE_ID_SPEC[curve_id]))
+
+    def _cached(self, name, fn):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(fn)
+        return self._jit[name]
+
+    # ------------------------------------------------------------- G1 -------
+    def g1_msm(self, points, scalars, c: int = 8):
+        """MSM over host inputs; returns one affine host point.
+
+        The device pipeline is ops/msm.py (Pippenger, Pallas kernels on
+        TPU); correctness oracle math_test.go:323-346.
+        """
+        P = self.g1.encode_points(points)
+        S = self.g1.encode_scalars([int(s) for s in scalars])
+        f = self._cached(("msm", c), lambda p, s: msm(self.g1, p, s, c=c))
+        return self.g1.decode_point(f(P, S))
+
+    def g1_msm_device(self, P: Array, S: Array, c: int = 8) -> Array:
+        f = self._cached(("msm", c), lambda p, s: msm(self.g1, p, s, c=c))
+        return f(P, S)
+
+    def g1_scalar_mul(self, points, scalars) -> List:
+        P = self.g1.encode_points(points)
+        S = self.g1.encode_scalars([int(s) for s in scalars])
+        f = self._cached("g1_smul", self.g1.scalar_mul)
+        return self.g1.decode_points(f(P, S))
+
+    # ------------------------------------------------------------- G2 -------
+    def g2_scalar_mul(self, points, scalars) -> List:
+        P = self.g2.encode_points(points)
+        S = self.g2.encode_scalars([int(s) for s in scalars])
+        f = self._cached("g2_smul", self.g2.scalar_mul)
+        return self.g2.decode_points(f(P, S))
+
+    # ---------------------------------------------------------- pairing -----
+    def _encode_pairs(self, g1_points, g2_points):
+        fp, tw = self.g1.fp, self.tw
+        xP = np.concatenate([fp.encode(P[0]) for P in g1_points], axis=-1)
+        yP = np.concatenate([fp.encode(P[1]) for P in g1_points], axis=-1)
+        Qx = np.concatenate([tw.f2_encode(Q[0]) for Q in g2_points], axis=-1)
+        Qy = np.concatenate([tw.f2_encode(Q[1]) for Q in g2_points], axis=-1)
+        return xP, yP, Qx, Qy
+
+    def pairing_batch(self, g1_points, g2_points) -> List:
+        """e(P_i, Q_i) for affine host point lists; returns host Fp12 list.
+
+        Always final-exponentiated (the API hides the reference's FExp
+        inconsistency between backends, SURVEY.md appendix)."""
+        xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
+        f = self._cached("pairing", self.pair.pairing)
+        return self.tw.f12_decode(f(xP, yP, Qx, Qy))
+
+    def pairing_product_is_one(self, g1_points, g2_points) -> bool:
+        """prod_i e(P_i, Q_i) == 1, with one shared final exponentiation —
+        the fast path for BLS/BBS+ style verification (cf. kilic
+        engine.Check usage, perf_test.go:352-358)."""
+        xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
+
+        def check(xp, yp, qx, qy):
+            f = self.pair.miller_loop(xp, yp, qx, qy)
+            prod = f
+            n = f.shape[-1]
+            while n > 1:
+                half = n // 2
+                head = self.tw.f12_mul(
+                    prod[..., 0 : 2 * half : 2], prod[..., 1 : 2 * half : 2]
+                )
+                if n % 2:
+                    head = jnp.concatenate([head, prod[..., 2 * half :]], axis=-1)
+                prod = head
+                n = prod.shape[-1]
+            return self.tw.f12_is_one(self.pair.final_exp(prod))
+
+        f = self._cached("pair_check", check)
+        return bool(np.asarray(f(xP, yP, Qx, Qy))[0])
+
+    # ------------------------------------------------------------- BLS ------
+    def bls_sign_batch(self, sk: int, messages: Sequence[bytes], dst: bytes = b"") -> List:
+        """sig_i = [sk] H(m_i): host hash-to-curve, device scalar mul."""
+        hasher = get_hasher(self.spec)
+        pts = [hasher.hash_to_g1(m, dst) for m in messages]
+        return self.g1_scalar_mul(pts, [sk] * len(pts))
+
+    def bls_verify_batch(
+        self, pk, signatures, messages: Sequence[bytes], dst: bytes = b""
+    ) -> bool:
+        """Verify all (sig_i, m_i) under G2 public key pk with one random
+        linear combination + a single 2-pairing product check."""
+        import random as _random
+
+        hasher = get_hasher(self.spec)
+        rng = _random.SystemRandom()
+        weights = [rng.randrange(1, self.spec.r) for _ in signatures]
+        hs = [hasher.hash_to_g1(m, dst) for m in messages]
+        # S = sum w_i sig_i ; H = sum w_i H(m_i); check e(S, -G2) e(H, pk) == 1
+        S = self.g1_msm(list(signatures), weights, c=4)
+        H = self.g1_msm(hs, weights, c=4)
+        neg_g2 = self.host.g2.neg(self.spec.g2_gen)
+        return self.pairing_product_is_one([S, H], [neg_g2, pk])
+
+
+@lru_cache(maxsize=None)
+def get_batch_engine(spec: CurveSpec) -> BatchEngine:
+    return BatchEngine(spec)

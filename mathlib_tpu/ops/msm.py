@@ -197,10 +197,54 @@ def _bucket_table(
     return buckets.reshape(3, L, W, B)
 
 
+def _tree_reduce_last(g1: G1Ctx, x: Array, n: int) -> Array:
+    """Point tree-reduction over the trailing n lanes of (3, L, W*n)."""
+    L = x.shape[1]
+    W = x.shape[-1] // n
+    while n > 1:
+        half = n // 2
+        x4 = x.reshape(3, L, W, n)
+        x = g1.add(
+            x4[..., :half].reshape(3, L, W * half),
+            x4[..., half : 2 * half].reshape(3, L, W * half),
+        )
+        n = half
+    return x  # (3, L, W)
+
+
 def _weighted_bucket_sum(g1: G1Ctx, buckets: Array, c: int) -> Array:
     """sum_{b=1}^{B-1} b * S_b per window: (3, L, W, B) -> (3, L, W).
 
-    Bit decomposition: sum_b b*S_b = sum_k 2^k * (sum_{b: bit k} S_b).
+    For large B, split the bucket index into hi/lo bytes first:
+      sum_b b*S_b = 2^h * sum_hi hi*R_hi + sum_lo lo*C_lo
+    with R/C the row/column sums of the (hi, lo) bucket grid — two tree
+    reductions plus two small weighted sums.  Keeps every intermediate at
+    most B-sized instead of c*B.
+    """
+    if c > 8:
+        L = buckets.shape[1]
+        W = buckets.shape[-2]
+        h = c // 2
+        H, Lo = 1 << h, 1 << (c - h)
+        grid = buckets.reshape(3, L, W, H, Lo)
+        rows = _tree_reduce_last(g1, grid.reshape(3, L, W * H * Lo), Lo)
+        rows = rows.reshape(3, L, W, H)  # R_hi
+        cols = _tree_reduce_last(
+            g1,
+            jnp.moveaxis(grid, -1, -2).reshape(3, L, W * Lo * H),
+            H,
+        ).reshape(3, L, W, Lo)  # C_lo
+        hi_sum = _weighted_bucket_sum(g1, rows, h)
+        lo_sum = _weighted_bucket_sum(g1, cols, c - h)
+        for _ in range(c - h):
+            hi_sum = g1.double(hi_sum)
+        return g1.add(hi_sum, lo_sum)
+    return _weighted_bucket_sum_bits(g1, buckets, c)
+
+
+def _weighted_bucket_sum_bits(g1: G1Ctx, buckets: Array, c: int) -> Array:
+    """Bit decomposition: sum_b b*S_b = sum_k 2^k * (sum_{b: bit k} S_b).
+
     Each inner sum is a masked lane tree-reduction (log B levels of
     full-width adds); the outer combination is a tiny Horner.  O(c log B)
     batched launches instead of a 2^c-step serial scan.
