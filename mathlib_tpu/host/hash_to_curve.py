@@ -209,7 +209,7 @@ class SswuMap:
             )
         gx1 = F.add(F.mul(F.add(F.mul(x1, x1), A), x1), B)
         x2 = F.mul(tv1, x1)
-        gx2 = F.mul(F.mul(gx1, tv1), F.mul(tv1, F.mul(u, u)))  # g(x2)=g(x1)*Z^3*u^6
+        gx2 = F.mul(gx1, F.mul(tv1, F.mul(tv1, tv1)))  # g(x2) = g(x1) * Z^3 u^6
         if self.is_square(gx1):
             x, y = x1, self.sqrt(gx1)
         else:
@@ -380,7 +380,7 @@ class Hasher:
         if m.is_square(gx1):
             return x1, m.sqrt(gx1)
         x2 = F.mul(tv1, x1)
-        gx2 = F.mul(F.mul(gx1, tv1), F.mul(tv1, F.mul(u, u)))
+        gx2 = F.mul(gx1, F.mul(tv1, F.mul(tv1, tv1)))  # g(x1) * Z^3 u^6
         return x2, m.sqrt(gx2)
 
 

@@ -331,6 +331,29 @@ class TowerCtx:
         out, _ = jax.lax.scan(body, one, bits_arr)
         return out
 
+    def f12_pow_scalars(self, a, scalars, nbits: Optional[int] = None):
+        """a**k with per-lane scalars (..., S, B) of plain 16-bit limbs.
+
+        Data-dependent exponent (the Gt.Exp surface, math.go:620-624):
+        fixed trip count, masked multiply per bit.
+        """
+        from .field import LIMB_BITS
+
+        nbits = nbits or self.spec.r.bit_length()
+        one = jnp.broadcast_to(jnp.asarray(self.f12_one), a.shape)
+
+        def body(acc, t):
+            idx = nbits - 1 - t
+            word = jnp.take(scalars, idx // LIMB_BITS, axis=-2)
+            bit = ((word >> (idx % LIMB_BITS)) & 1).astype(bool)  # (..., B)
+            acc = self.f12_sqr(acc)
+            hit = self.f12_mul(acc, a)
+            acc = self.f12_select(bit, hit, acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, one, jnp.arange(nbits))
+        return out
+
     # -------------------------------------------------------- final exp -----
     def f12_final_exp(self, f):
         """Pairing final exponentiation, matching the host engine
