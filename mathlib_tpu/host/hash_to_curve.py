@@ -333,6 +333,12 @@ class Hasher:
         return P  # BN: cofactor 1
 
     def _clear_cofactor_g2(self, P: Point) -> Point:
+        from ..curves import isogeny_data as iso
+
+        d = iso.G2.get(self.spec.name)
+        if d is not None and "h_eff" in d:
+            # ciphersuite effective cofactor (RFC 9380 8.8.2 for BLS12-381)
+            return self.e.g2.mul(P, d["h_eff"])
         return self.e.g2.mul(P, self.spec.h2)
 
     # -- BBS+ legacy big-endian SSWU (kilic/custom.go:134-237) -----------------

@@ -56,5 +56,17 @@ def test_bbs_variant(setup):
 def test_rfc_compatibility_flags(setup):
     spec, eng, h = setup
     assert h.is_rfc_compatible("g1") is True
-    # G2 still uses SVDW (isogeny derivation over Fp2: round-2)
-    assert h.is_rfc_compatible("g2") in (True, False)
+    assert h.is_rfc_compatible("g2") is True
+
+
+def test_g2_sswu(setup):
+    """G2 SSWU rides the derived 3-isogeny (A' = 240u, B' = 1012(1+u) —
+    the RFC 9380 8.8.2 constants) with the ciphersuite h_eff; exact vector
+    parity is pinned up to the codomain-automorphism choice (STATUS.md)."""
+    spec, eng, h = setup
+    for i in range(3):
+        Q = h.hash_to_g2(b"g2-%d" % i, b"G2-DST")
+        assert eng.g2.is_on_curve(Q)
+        assert eng.g2.mul(Q, spec.r) is None
+    assert h.hash_to_g2(b"a", b"d") == h.hash_to_g2(b"a", b"d")
+    assert h.hash_to_g2(b"a", b"d") != h.hash_to_g2(b"b", b"d")
