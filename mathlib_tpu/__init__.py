@@ -7,3 +7,10 @@ bit-exact mathlib-compatible serialization.
 """
 
 from .curves.params import CurveID, CurveSpec, get_spec  # noqa: F401
+
+
+def get_batch_engine(spec):
+    """Batched TPU engine (lazy import: pulls in jax)."""
+    from .batch import get_batch_engine as _g
+
+    return _g(spec)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import random
 import sys
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 sys.path.insert(0, "/root/repo")
 
@@ -131,7 +131,6 @@ def division_poly(ell: int, A: int, B: int, p: int) -> Poly:
                  with 16E^2 multiplying whichever term holds the even-index
                  f's (first term if m even, second if m odd).
     """
-    E4sq = None
     E = [B % p, A % p, 0, 1]
     sixteenE2 = pscale(pmul(E, E, p), 16, p)
     f = {
