@@ -23,6 +23,14 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compile cache: repeated driver runs skip the large
+    # (several-minute) Mosaic/XLA compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from mathlib_tpu.curves.params import get_spec
     from mathlib_tpu.ops.g1 import get_g1_ctx
     from mathlib_tpu.ops.msm import msm
