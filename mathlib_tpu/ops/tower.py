@@ -270,7 +270,21 @@ class TowerCtx:
         return jnp.stack([c0, c1], axis=-5)
 
     def f12_sqr(self, a):
-        return self.f12_mul(a, a)
+        """Complex squaring over Fp6: (a0 + a1 w)^2 with w^2 = v.
+
+        c1 = 2 a0 a1;  c0 = (a0 + a1)(a0 + v a1) - t - v t  with t = a0 a1.
+        12 Fp2 multiplies (vs 18 for a general multiply), issued as one
+        stacked f6_mul call.
+        """
+        a0, a1 = self._h(a, 0), self._h(a, 1)
+        va1 = self.f6_mul_v(a1)
+        lhs = jnp.stack([a0, self.f6_add(a0, a1)], axis=-5)
+        rhs = jnp.stack([a1, self.f6_add(a0, va1)], axis=-5)
+        m = self.f6_mul(lhs, rhs)
+        t, m1 = m[..., 0, :, :, :, :], m[..., 1, :, :, :, :]
+        c0 = self.f6_sub(self.f6_sub(m1, t), self.f6_mul_v(t))
+        c1 = self.f6_add(t, t)
+        return jnp.stack([c0, c1], axis=-5)
 
     def f12_inv(self, a):
         a0, a1 = self._h(a, 0), self._h(a, 1)
