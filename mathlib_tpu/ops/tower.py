@@ -368,15 +368,65 @@ class TowerCtx:
         out, _ = jax.lax.scan(body, one, jnp.arange(nbits))
         return out
 
+    def _f12_exp_pos(self, a, e: int):
+        """a**e for a static positive int, unrolled square-and-multiply.
+
+        Used for the sparse curve-parameter exponent |x| in the BLS12
+        final-exp chain (hamming weight ~6, so the unrolled graph is small
+        and does no wasted masked multiplies)."""
+        bits = bin(e)[2:]
+        acc = a
+        for bit in bits[1:]:
+            acc = self.f12_sqr(acc)
+            if bit == "1":
+                acc = self.f12_mul(acc, a)
+        return acc
+
     # -------------------------------------------------------- final exp -----
     def f12_final_exp(self, f):
         """Pairing final exponentiation, matching the host engine
         (host/fields.py f12_final_exp): easy part by conj/inv/frobenius,
-        hard part as a base-p multi-exponentiation with shared squarings
-        (table lookups on device)."""
+        then the hard part.
+
+        BLS12 curves use the x-chain for the factor-3 convention, via the
+        integer identity (verified against the curve polynomials)
+            3 (p^4 - p^2 + 1)/r = (x-1)^2 (x + p) (x^2 + p^2 - 1) + 3,
+        costing ~4 exponentiations by the sparse |x| on the cyclotomic
+        subgroup (where inversion is conjugation).  Other conventions fall
+        back to a generic base-p multi-exponentiation with shared
+        squarings (table lookups on device)."""
         # easy part: f^(p^6-1) then ^(p^2+1)
         t = self.f12_mul(self.f12_conj(f), self.f12_inv(f))
         f = self.f12_mul(self.f12_frob(t, 2), t)
+
+        spec = self.spec
+        from ..curves.params import Family
+
+        if spec.family == Family.BLS12 and spec.fexp_factor == 3:
+            assert (
+                (spec.x - 1) ** 2 * (spec.x + spec.p) * (spec.x**2 + spec.p**2 - 1)
+                + 3
+                == spec.hard_part_exp
+            )
+            ax = abs(spec.x)
+            neg = spec.x < 0
+            ax_bits = bits_of(ax)
+
+            def exp_x(a):  # a^x (cyclotomic: inverse = conjugate)
+                r = self.f12_pow_bits(a, ax_bits)  # scan: small graph
+                return self.f12_conj(r) if neg else r
+
+            def exp_xm1(a):  # a^(x-1)
+                return self.f12_mul(exp_x(a), self.f12_conj(a))
+
+            y = exp_xm1(exp_xm1(f))  # f^((x-1)^2)
+            y = self.f12_mul(exp_x(y), self.f12_frob(y, 1))  # ^(x+p)
+            y = self.f12_mul(  # ^(x^2 + p^2 - 1)
+                self.f12_mul(exp_x(exp_x(y)), self.f12_frob(y, 2)),
+                self.f12_conj(y),
+            )
+            f3 = self.f12_mul(self.f12_sqr(f), f)
+            return self.f12_mul(y, f3)
 
         p = self.spec.p
         e = self.spec.hard_part_exp
