@@ -7,9 +7,11 @@ with polynomial coefficient lists low-degree-first.  G1 entries are over Fp
 BLS12_381 G1: the 11-isogenous curve recovered from first principles
 (division polynomial of ell=11, Velu, dual via phi(other subgroup)); the
 resulting (A', B', Z) match the RFC 9380 BLS12381G1 ciphersuite constants
-exactly.  The rational maps are the normalized Velu dual; agreement with
-the RFC's published map up to curve automorphism is pinned structurally
-(homomorphism + codomain verified); byte-level vector check: STATUS.md.
+exactly.  The rational maps are the normalized Velu dual, composed for G2
+with the codomain automorphism (x,y)->(w*x,y) (w a primitive cube root of
+unity in Fp) that matches the RFC's normalization; both G1 and G2 maps are
+pinned byte-for-byte against RFC 9380 J.9.1/J.10.1 in
+tests/test_hash_vectors.py.
 """
 
 G1 = {
@@ -93,10 +95,14 @@ G2 = {
         "h_eff": 0xbc69f08f2ee75b3584c6a0ea91b352888e2a8e9145ad7689986ff031508ffe1329c2f178731db956d82bf015d1212b02ec0ec69d7477c1ae954cbc06689f6a359894c0adebbf6b4e8020005aaa95551,
         "iso": (
             [
-                (0x5c759507e8e334b47991807c3f6b4bf92811550df448160acdbd87ce965da88e2d9d7e3c19d559ee60a71c71c4fecc6, 0x5c759507e8e334b47991807c3f6b4bf92811550df448160acdbd87ce965da88e2d9d7e3c19d559ee60a71c71c4fecc6),
-                (0x0, 0x11560bf17baa99bb34795ca483a04d0afc8accef8784ccb7f596c920e73468006eddbfcb70c7fffa014f55555557c722),
-                (0x11560bf17baa99bcb0def964017b8651e631e50d2fc2ac636c656e108316c223e73d2018f8f00002b95755555553c71a, 0x8ab05f8bdd54cdd9a3cae5241d026857e456677c3c2665bfacb6490739a3400376edfe5b863fffd00a7aaaaaaabe391),
-                (0x171d6541fa38ccfaf7fef5e0383405e4fc3ce75a8ee9c8a7c9b1235cd88007f66cd46d56532f5555551bc71c71c6b426, 0x0),
+                # x_num scaled by the codomain automorphism (x,y)->(w*x,y),
+                # w^3=1, fixing the dual-isogeny normalization so the map
+                # equals the RFC 9380 E.3 published 3-isogeny exactly
+                # (pinned by the J.10.1 vectors in tests/test_hash_vectors.py).
+                (0x5c759507e8e333ebb5b7a9a47d7ed8532c52d39fd3a042a88b58423c50ae15d5c2638e343d9c71c6238aaaaaaaa97d6, 0x5c759507e8e333ebb5b7a9a47d7ed8532c52d39fd3a042a88b58423c50ae15d5c2638e343d9c71c6238aaaaaaaa97d6),
+                (0x0, 0x11560bf17baa99bc32126fced787c88f984f87adf7ae0c7f9a208c6b4f20a4181472aaa9cb8d555526a9ffffffffc71a),
+                (0x11560bf17baa99bc32126fced787c88f984f87adf7ae0c7f9a208c6b4f20a4181472aaa9cb8d555526a9ffffffffc71e, 0x8ab05f8bdd54cde190937e76bc3e447cc27c3d6fbd7063fcd104635a790520c0a395554e5c6aaaa9354ffffffffe38d),
+                (0x171d6541fa38ccfaed6dea691f5fb614cb14b4e7f4e810aa22d6108f142b85757098e38d0f671c7188e2aaaaaaaa5ed1, 0x0),
             ],
             [
                 (0x0, 0x1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f6241eabfffeb153ffffb9feffffffffaa63),

@@ -61,8 +61,8 @@ def test_rfc_compatibility_flags(setup):
 
 def test_g2_sswu(setup):
     """G2 SSWU rides the derived 3-isogeny (A' = 240u, B' = 1012(1+u) —
-    the RFC 9380 8.8.2 constants) with the ciphersuite h_eff; exact vector
-    parity is pinned up to the codomain-automorphism choice (STATUS.md)."""
+    the RFC 9380 8.8.2 constants) with the ciphersuite h_eff; exact J.10.1
+    vector parity is pinned in test_hash_vectors.py."""
     spec, eng, h = setup
     for i in range(3):
         Q = h.hash_to_g2(b"g2-%d" % i, b"G2-DST")
