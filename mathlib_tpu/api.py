@@ -513,12 +513,9 @@ class Curve:
         points = [g.point for g in a]
         scalars = [z.value % r for z in b]
         if len(points) >= 64:
-            try:
-                from .ops.msm import msm_host_bridge
+            from .ops.msm import msm_host_bridge
 
-                return G1(msm_host_bridge(self.spec, points, scalars), self.curve_id)
-            except Exception:  # pragma: no cover - device path optional
-                pass
+            return G1(msm_host_bridge(self.spec, points, scalars), self.curve_id)
         return G1(self.engine.g1.msm(points, scalars), self.curve_id)
 
 

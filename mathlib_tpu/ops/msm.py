@@ -317,3 +317,39 @@ def msm(
 def msm_naive(g1: G1Ctx, points: Array, scalars: Array) -> Array:
     """Oracle: batched scalar-mul then tree reduction (math_test.go:323-346)."""
     return g1.sum_reduce(g1.scalar_mul(points, scalars))
+
+
+# ---------------------------------------------------------------------------
+# host bridge — the Curve.MultiScalarMul device dispatch (math.go:957-969)
+# ---------------------------------------------------------------------------
+
+_BRIDGE_CACHE: dict = {}
+
+
+def _bridge_fn(spec_name: str, g1: G1Ctx, n_pad: int, c: int):
+    key = (spec_name, n_pad, c)
+    fn = _BRIDGE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, s: msm(g1, p, s, c=c))
+        _BRIDGE_CACHE[key] = fn
+    return fn
+
+
+def msm_host_bridge(spec, points, scalars):
+    """Host-level MSM: list of affine points + int scalars -> affine point.
+
+    Encodes to the (3, L, N) device layout, pads N up to a power of two
+    (infinity points with zero scalars are absorbing), runs the jitted
+    Pippenger program, and decodes.  Backs ``Curve.MultiScalarMul`` for
+    n >= 64 (reference seam: driver/gurvy/bls12381/bls12-381.go:766-783).
+    """
+    from .g1 import get_g1_ctx
+
+    g1 = get_g1_ctx(spec)
+    n = len(points)
+    n_pad = 1 << max(6, (n - 1).bit_length())
+    pts = g1.encode_points(list(points) + [None] * (n_pad - n))
+    scs = g1.encode_scalars(list(scalars) + [0] * (n_pad - n))
+    c = 8 if n_pad >= 4096 else 4
+    out = _bridge_fn(spec.name, g1, n_pad, c)(pts, scs)
+    return g1.decode_point(np.asarray(out))

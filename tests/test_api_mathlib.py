@@ -449,6 +449,30 @@ def test_multi_scalar_mul(curve, crng):
     assert acc.Equals(c.MultiScalarMul(g1s, zrs))
 
 
+def test_multi_scalar_mul_device_dispatch(crng):
+    """n >= 64 routes through the jitted Pippenger device path
+    (ops.msm.msm_host_bridge — the reference seam is gnark MultiExp at
+    driver/gurvy/bls12381/bls12-381.go:766-783); checked against the naive
+    fold oracle (math_test.go:323-346) at n=256 including repeated points,
+    zero scalars, and a point at infinity."""
+    c = Curves[CurveID.BLS12_381]
+    n = 256
+    g1s = [c.GenG1.Mul(c.NewZrFromInt(i % 19 + 1)) for i in range(n)]
+    zrs = [c.NewRandomZr(crng) for _ in range(n)]
+    zrs[3] = c.NewZrFromInt(0)
+    g1s[7] = c.NewG1()  # infinity
+    acc = c.NewG1()
+    for g, z in zip(g1s, zrs):
+        acc.Add(g.Mul(z))
+    from mathlib_tpu.ops import msm as msm_mod
+
+    before = dict(msm_mod._BRIDGE_CACHE)
+    got = c.MultiScalarMul(g1s, zrs)
+    assert len(msm_mod._BRIDGE_CACHE) > 0  # the device path actually ran
+    del before
+    assert acc.Equals(got)
+
+
 def test_json_marshaler(curve, crng):
     """runJsonMarshaler (math_test.go:793-821)."""
     c = curve

@@ -1,0 +1,218 @@
+"""Differential tests for the Pallas TPU kernels.
+
+The Mosaic kernels (ops/kernels/*.py) are the production TPU compute path —
+the analogue of the reference's ADX Montgomery assembly
+(driver/kilic/custom_amd64.go:26-30).  The CPU test suite never takes that
+dispatch (``_pallas_enabled()`` is False off-TPU), so the kernels are driven
+here explicitly, two ways:
+
+* ``interpret=True`` through the real ``pallas_call`` (grid, BlockSpecs,
+  tiling/restore plumbing) — cheap enough for the single-mul field kernel on
+  every modulus, and for one fused point kernel (marked slow).
+* the kernel *bodies* evaluated with a NumPy-backed Ref shim: the bodies are
+  trace-time Python over uint32 arrays, so running them on numpy arrays is
+  the identical integer computation (wrap-around, shifts, where) at a
+  millisecond cost instead of minutes of interpret-mode compile.  This gives
+  all four fused G1 kernels x all four curves differential coverage against
+  the exact host group law in the default suite.
+
+bench.py additionally asserts Pallas-vs-XLA consistency on the real TPU
+before printing any number.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mathlib_tpu.ops.kernels.fp_rows as fp_rows_mod
+import mathlib_tpu.ops.kernels.g1_pallas as g1p_mod
+from mathlib_tpu.curves.params import get_spec
+from mathlib_tpu.host.engine import get_engine
+from mathlib_tpu.ops.field import get_fp_ctx, int_to_limbs
+from mathlib_tpu.ops.g1 import get_g1_ctx
+from mathlib_tpu.ops.kernels.fp_pallas import mont_mul_pallas
+from mathlib_tpu.ops.kernels.fp_rows import RowCtx
+
+CURVES = ["BLS12_381", "BLS12_377", "BN254", "FP256BN"]
+
+
+def _moduli():
+    out = []
+    for name in CURVES:
+        s = get_spec(name)
+        out.append(pytest.param(s.p, id=name + "_fp"))
+        out.append(pytest.param(s.r, id=name + "_fr"))
+    return out
+
+
+def _encode_batch(vals, L):
+    """ints -> (L, B) uint32 limbs."""
+    return np.stack([int_to_limbs(v, L) for v in vals], axis=-1)
+
+
+def _decode_batch(arr):
+    arr = np.asarray(arr)
+    L, B = arr.shape[-2], arr.shape[-1]
+    return [
+        sum(int(arr[..., k, i]) << (16 * k) for k in range(L)) for i in range(B)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# field kernel through real pallas_call (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("p", _moduli())
+def test_mont_mul_pallas_matches_xla(p):
+    ctx = get_fp_ctx(p, "k%d" % (p % 65521))
+    L = ctx.L
+    rng = random.Random(p % (2**31))
+    # relaxed-domain inputs: [0, 2p) including 0, 1, p-1, p, 2p-1
+    vals_a = [0, 1, p - 1, p, 2 * p - 1] + [rng.randrange(2 * p) for _ in range(11)]
+    vals_b = [2 * p - 1, p, 1, p - 1, 0] + [rng.randrange(2 * p) for _ in range(11)]
+    a = _encode_batch(vals_a, L)
+    b = _encode_batch(vals_b, L)
+    got = np.asarray(
+        mont_mul_pallas(p, L, jnp.asarray(a), jnp.asarray(b), interpret=True)
+    )
+    want = np.asarray(ctx.mont_mul(jnp.asarray(a), jnp.asarray(b)))
+    assert np.array_equal(got, want)
+    # and both equal a*b*R^-1 mod p, still in the relaxed domain
+    R_inv = pow(1 << (16 * L), p - 2, p)
+    for va, vb, vo in zip(vals_a, vals_b, _decode_batch(got)):
+        assert vo % p == va * vb * R_inv % p
+        assert vo < 2 * p
+
+
+# ---------------------------------------------------------------------------
+# numpy Ref shim for kernel bodies
+# ---------------------------------------------------------------------------
+
+
+class _Ref:
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        self.arr[idx] = val
+
+
+@pytest.fixture
+def numpy_kernel_env(monkeypatch):
+    """Run kernel bodies on numpy: identical uint32 semantics, no XLA."""
+    monkeypatch.setattr(fp_rows_mod, "jnp", np)
+    monkeypatch.setattr(g1p_mod, "jnp", np)
+
+
+def _rows(vals, L):
+    """ints -> list of L (1, B) uint32 rows (the in-kernel layout)."""
+    return [np.asarray(a)[None, :] for a in _encode_batch(vals, L)]
+
+
+def _unrows(rows):
+    return _decode_batch(np.stack([r[0] for r in rows], axis=0))
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_rowctx_field_ops(name, numpy_kernel_env):
+    """RowCtx mul/add/sub/mul_small vs exact integer arithmetic, all curves."""
+    spec = get_spec(name)
+    for p in (spec.p, spec.r):
+        L = get_fp_ctx(p, "rc%d" % (p % 65521)).L
+        ctx = RowCtx(p, L)
+        rng = random.Random(p % (2**31))
+        va = [0, 1, p, 2 * p - 1] + [rng.randrange(2 * p) for _ in range(8)]
+        vb = [2 * p - 1, p, 1, 0] + [rng.randrange(2 * p) for _ in range(8)]
+        a, b = _rows(va, L), _rows(vb, L)
+        R_inv = pow(1 << (16 * L), p - 2, p)
+        for got, want in [
+            (_unrows(ctx.mul(a, b)), [x * y * R_inv % p for x, y in zip(va, vb)]),
+            (_unrows(ctx.add(a, b)), [(x + y) % p for x, y in zip(va, vb)]),
+            (_unrows(ctx.sub(a, b)), [(x - y) % p for x, y in zip(va, vb)]),
+            (_unrows(ctx.mul_small(a, 13)), [x * 13 % p for x in va]),
+        ]:
+            for g, w in zip(got, want):
+                assert g % p == w
+                assert g < 2 * p
+
+
+def _sample_points(g1, rng, n):
+    """n host points: infinity, generator, random multiples."""
+    eng = get_engine(g1.spec)
+    pts = [None, eng.gen_g1]
+    for _ in range(n - 2):
+        pts.append(eng.g1.mul(eng.gen_g1, rng.randrange(1, g1.spec.r)))
+    return pts
+
+
+def _enc4(g1, pts):
+    """host points -> (3, L, 1, B) uint32 (one sublane row of B lanes)."""
+    return np.asarray(g1.encode_points(pts))[:, :, None, :]
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_g1_kernel_bodies(name, numpy_kernel_env):
+    """All four fused RCB kernels vs the exact host group law."""
+    g1 = get_g1_ctx(get_spec(name))
+    eng = get_engine(g1.spec)
+    p, L, b3 = g1.spec.p, g1.fp.L, g1.F.b3
+    ctx = RowCtx(p, L)
+    rng = random.Random(0xC0FFEE)
+    hostP = _sample_points(g1, rng, 8)
+    hostQ = _sample_points(g1, rng, 8)
+    # include P+(-P) -> infinity and P+P -> doubling through `add`
+    hostQ[6] = None if hostP[6] is None else (hostP[6][0], (-hostP[6][1]) % p)
+    hostQ[7] = hostP[7]
+    P4, Q4 = _enc4(g1, hostP), _enc4(g1, hostQ)
+    sel = np.asarray([1, 0, 1, 1, 0, 1, 1, 1], dtype=np.uint32)[None, :]
+
+    def run(kernel, *refs):
+        o = _Ref(np.zeros_like(P4))
+        kernel(ctx, b3, *[_Ref(r.copy()) for r in refs], o)
+        return g1.decode_points(o.arr[:, :, 0, :])
+
+    addh = lambda a, b: eng.g1.add(a, b)  # noqa: E731
+    dblh = lambda a: eng.g1.add(a, a)  # noqa: E731
+
+    got = run(g1p_mod._add_kernel, P4, Q4)
+    assert got == [addh(a, b) for a, b in zip(hostP, hostQ)]
+
+    got = run(g1p_mod._double_kernel, P4)
+    assert got == [dblh(a) for a in hostP]
+
+    got = run(g1p_mod._dbladd_kernel, P4, Q4, sel)
+    want = [
+        addh(dblh(a), b) if s else dblh(a)
+        for a, b, s in zip(hostP, hostQ, sel[0])
+    ]
+    assert got == want
+
+    got = run(g1p_mod._addsel_kernel, P4, Q4, sel)
+    want = [addh(a, b) if s else b for a, b, s in zip(hostP, hostQ, sel[0])]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# one fused kernel through the full pallas_call plumbing (slow: interpret-
+# mode compile of the unrolled kernel takes minutes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_g1_add_pallas_plumbing():
+    g1 = get_g1_ctx(get_spec("BN254"))
+    eng = get_engine(g1.spec)
+    rng = random.Random(7)
+    hostP = _sample_points(g1, rng, 8)
+    hostQ = _sample_points(g1, rng, 8)
+    P = jnp.asarray(g1.encode_points(hostP))
+    Q = jnp.asarray(g1.encode_points(hostQ))
+    out = g1p_mod.add_pallas(g1.spec.p, g1.fp.L, g1.F.b3, P, Q, interpret=True)
+    got = g1.decode_points(np.asarray(out))
+    assert got == [eng.g1.add(a, b) for a, b in zip(hostP, hostQ)]
