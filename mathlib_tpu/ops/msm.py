@@ -117,10 +117,18 @@ def _bucket_table(
     points: (3, L, N); digits: (W, N).  Streaming scatter-during-scan: the
     full point set is touched exactly once per window (gather + one fused
     add_select), and finished segments go straight into the bucket table.
+
+    Memory layout: the random-access sides (point gather, bucket scatter)
+    run in point-major rows — one point = 3*L consecutive words — so every
+    gather/scatter touches contiguous bytes instead of one 4-byte word per
+    512-byte tile.  The compute side (the fused add_select kernel) stays in
+    lane-major (3, L, lanes); the two layouts meet at one dense transpose
+    per scan step, which XLA executes at memory bandwidth.
     """
     W, N = digits.shape
     L = points.shape[-2]
     B = 1 << c
+    R = 3 * L  # words per point row
 
     order = jnp.argsort(digits, axis=1)  # (W, N)
     keys = jnp.take_along_axis(digits, order, axis=1)  # sorted
@@ -152,21 +160,27 @@ def _bucket_table(
     order_t = to_steps(order)
     sidx_t = to_steps(scatter_idx)
 
+    # point-major copy for the streaming gather: one row = one point
+    points_rows = points.reshape(R, N).T  # (N, R)
+    inf_row = jnp.asarray(g1.inf).reshape(R)
+
     init = (
         jnp.full((W * C,), _SENTINEL, keys.dtype),
         jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
-        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * B)),
+        jnp.broadcast_to(inf_row, (W * B, R)),
     )
 
     def body(carry, x):
-        ck, cp, buckets = carry
+        ck, cp, bucket_rows = carry
         k, o, si = x
-        p = points[..., o]  # streaming gather (3, L, W*C)
+        p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
         run = g1.add_select(cp, p, k == ck)
-        buckets = buckets.at[..., si].set(run, mode="drop")
-        return (k, run, buckets), None
+        bucket_rows = bucket_rows.at[si].set(
+            run.reshape(R, W * C).T, mode="drop"
+        )
+        return (k, run, bucket_rows), None
 
-    (_, final_run, buckets), _ = jax.lax.scan(
+    (_, final_run, bucket_rows), _ = jax.lax.scan(
         body, init, (keys_t, order_t, sidx_t)
     )
 
@@ -189,12 +203,14 @@ def _bucket_table(
         ends_here = first_key != next_first
         fix = jnp.logical_and(jnp.logical_and(valid, ends_here), first_key < B)
         tgt = jnp.where(fix, win_ids[:, :C] * B + first_key, W * B).reshape(-1)
-        cur = buckets[..., jnp.minimum(tgt, W * B - 1)]  # (3, L, W*C)
+        cur = bucket_rows[jnp.minimum(tgt, W * B - 1)]  # (W*C, R) row gather
         carry_flat = jnp.moveaxis(carry_pt, 0, -2).reshape(3, L, W * C)
-        fixed = g1.add(cur, carry_flat)
-        buckets = buckets.at[..., tgt].set(fixed, mode="drop")
+        fixed = g1.add(cur.T.reshape(3, L, W * C), carry_flat)
+        bucket_rows = bucket_rows.at[tgt].set(
+            fixed.reshape(R, W * C).T, mode="drop"
+        )
 
-    return buckets.reshape(3, L, W, B)
+    return bucket_rows.T.reshape(3, L, W, B)
 
 
 def _tree_reduce_last(g1: G1Ctx, x: Array, n: int) -> Array:
