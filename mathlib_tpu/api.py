@@ -449,11 +449,15 @@ class Curve:
         if self.curve_id in _BBS_IDS:
             p = self.hasher.hash_to_g1_bbs(data, domain)
         elif self.curve_id == CurveID.FP256BN_AMCL:
-            # legacy: HMAC-SHA256 domain separation then hash (fp256bn.go:173-178)
+            # legacy: HMAC-SHA256 domain separation then Bls_hash
+            # (fp256bn.go:169-178)
             if domain:
                 data = hmaclib.new(domain, data, hashlib.sha256).digest()
-            p = self.hasher.hash_to_g1(data, b"")
+            p = self.hasher.amcl_bls_hash(data)
         else:
+            # miracl-core path for FP256BN_AMCL_MIRACL: hash_to_field
+            # (XMD:SHA-256, L=48, ctr=2) + map2point + Cfp
+            # (driver/amcl/custom.go:19-32); RFC path for the gurvy curves.
             p = self.hasher.hash_to_g1(data, domain)
         return G1(p, self.curve_id)
 

@@ -41,7 +41,8 @@ class SerFormat(enum.Enum):
 
     ZCASH = "zcash"  # BLS12-381: 3 flag bits in MSB of x (kilic & gnark agree)
     GNARK = "gnark"  # BN254 / BLS12-377: gnark 2-bit flag scheme
-    AMCL = "amcl"  # FP256BN: 0x04/0x02/0x03 prefix byte
+    AMCL = "amcl"  # FP256BN legacy: 0x04/0x02/0x03 G1 prefix, bare 128-B G2
+    AMCL_MIRACL = "amcl_miracl"  # FP256BN miracl-core: prefixed G2, 129/65 B
 
 
 class CurveID(enum.IntEnum):
@@ -100,21 +101,29 @@ class CurveSpec:
         return self.easy_exp * self.hard_part_exp
 
     @property
+    def _amcl_like(self) -> bool:
+        return self.ser_format in (SerFormat.AMCL, SerFormat.AMCL_MIRACL)
+
+    @property
     def g1_uncompressed_size(self) -> int:
-        return 2 * self.fp_bytes + (1 if self.ser_format == SerFormat.AMCL else 0)
+        return 2 * self.fp_bytes + (1 if self._amcl_like else 0)
 
     @property
     def g1_compressed_size(self) -> int:
-        return self.fp_bytes + (1 if self.ser_format == SerFormat.AMCL else 0)
+        return self.fp_bytes + (1 if self._amcl_like else 0)
 
     @property
     def g2_uncompressed_size(self) -> int:
+        if self.ser_format == SerFormat.AMCL_MIRACL:
+            return 4 * self.fp_bytes + 1  # fp256bn_miracl.go:118-121
         return 4 * self.fp_bytes
 
     @property
     def g2_compressed_size(self) -> int:
         if self.ser_format == SerFormat.AMCL:
             return 4 * self.fp_bytes  # AMCL has no compressed G2 (fp256bn.go:119-121)
+        if self.ser_format == SerFormat.AMCL_MIRACL:
+            return 2 * self.fp_bytes + 1  # fp256bn_miracl.go:123-125
         return 2 * self.fp_bytes
 
     @property
@@ -510,6 +519,17 @@ def _make_fp256bn() -> CurveSpec:
     )
 
 
+def _make_fp256bn_miracl() -> CurveSpec:
+    """The miracl-core flavour of FP256BN: identical curve arithmetic, but
+    the miracl-core wire format (prefixed G2, 129/65 B; fp256bn_miracl.go:
+    110-125) and the standards-track hash-to-point (driver/amcl/custom.go)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        get_spec("FP256BN"), name="FP256BN_MIRACL", ser_format=SerFormat.AMCL_MIRACL
+    )
+
+
 @lru_cache(maxsize=None)
 def get_spec(name: str) -> CurveSpec:
     builders = {
@@ -517,6 +537,7 @@ def get_spec(name: str) -> CurveSpec:
         "BLS12_377": _make_bls12_377,
         "BN254": _make_bn254,
         "FP256BN": _make_fp256bn,
+        "FP256BN_MIRACL": _make_fp256bn_miracl,
     }
     return builders[name]()
 
@@ -526,7 +547,7 @@ def get_spec(name: str) -> CurveSpec:
 CURVE_ID_SPEC = {
     CurveID.FP256BN_AMCL: "FP256BN",
     CurveID.BN254: "BN254",
-    CurveID.FP256BN_AMCL_MIRACL: "FP256BN",
+    CurveID.FP256BN_AMCL_MIRACL: "FP256BN_MIRACL",
     CurveID.BLS12_381: "BLS12_381",
     CurveID.BLS12_377_GURVY: "BLS12_377",
     CurveID.BLS12_381_GURVY: "BLS12_381",

@@ -341,6 +341,25 @@ class Hasher:
             return self.e.g2.mul(P, d["h_eff"])
         return self.e.g2.mul(P, self.spec.h2)
 
+    # -- AMCL legacy Bls_hash (driver/amcl/fp256bn.go:169-178) ------------------
+    def amcl_bls_hash(self, msg: bytes) -> Point:
+        """fabric-amcl/amcl FP256BN ``Bls_hash``: SHAKE-256(msg) -> 32 bytes
+        -> BIG mod p -> ``ECP_mapit`` increment-and-retry x until x^3+b is a
+        QR, y chosen with even parity (AMCL v3 ECP ``NewECPbigint(x, 0)``);
+        FP256BN has cofactor 1 so ``Cfp`` is a no-op.  Reconstructed from the
+        AMCL v3 sources vendored by hyperledger/fabric-amcl (not verifiable
+        bit-for-bit in this environment: no Go toolchain, no egress)."""
+        p = self.spec.p
+        x = int.from_bytes(hashlib.shake_256(msg).digest(32), "big") % p
+        while True:
+            rhs = (x * x % p * x + self.spec.b) % p
+            y = self.e.tw.fp_sqrt(rhs)
+            if y is not None:
+                if y & 1:
+                    y = p - y
+                return (x, y)
+            x = (x + 1) % p
+
     # -- BBS+ legacy big-endian SSWU (kilic/custom.go:134-237) -----------------
     def hash_to_g1_bbs(self, msg: bytes, dst: bytes) -> Point:
         if self._g1_sswu is None:
