@@ -373,6 +373,20 @@ _BLS12_381_G2_GEN = (
     ),
 )
 
+# BLS12-377 G2 generator: the standard zexe/arkworks value, which gnark-crypto
+# uses verbatim (reference seam: driver/gurvy/bls12-377.go:266-273 caches
+# bls12377.Generators()).  Validated on-twist and order-r at spec build.
+_BLS12_377_G2_GEN = (
+    (
+        233578398248691099356572568220835526895379068987715365179118596935057653620464273615301663571204657964920925606294,
+        140913150380207355837477652521042157274541796891053068589147167627541651775299824604154852141315666357241556069118,
+    ),
+    (
+        63160294768292073209381361943935198908131692476676907196754037919244929611450776219210369229519898517858833747423,
+        149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491,
+    ),
+)
+
 # BN254 G2 generator: the standard EIP-197 value (gnark uses the same curve
 # and generators as the EVM alt_bn128 precompiles).
 _BN254_G2_GEN = (
@@ -429,7 +443,9 @@ def _make_bls12_377() -> CurveSpec:
     h1 = (x - 1) ** 2 // 3
     beta = p - 5  # u^2 = -5
     xi = (0, 1)  # u
-    twist, b2, h2, g2_gen, derived = _build_g2_side(p, t, r, 1, beta, xi, "D", None)
+    twist, b2, h2, g2_gen, derived = _build_g2_side(
+        p, t, r, 1, beta, xi, "D", _BLS12_377_G2_GEN
+    )
     g1_gen = (
         81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
         241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,

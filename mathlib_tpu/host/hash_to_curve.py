@@ -332,14 +332,80 @@ class Hasher:
             return self.e.g1.mul(P, 1 - self.spec.x)
         return P  # BN: cofactor 1
 
+    # -- twist endomorphism psi = twist o Frobenius o untwist -------------------
+    @property
+    def psi_consts(self):
+        """(cx, cy) with psi(x, y) = (conj(x) cx, conj(y) cy).
+
+        cx = xi^(±(p-1)/3), cy = xi^(±(p-1)/2); the sign convention depends
+        on the twist direction, so it is fixed empirically at build time by
+        requiring (a) psi maps the twist to itself and (b) the characteristic
+        equation psi^2 - [t] psi + [p] = O on a random twist point."""
+        if getattr(self, "_psi_consts", None) is not None:
+            return self._psi_consts
+        t = self.e.tw
+        p, spec = self.spec.p, self.spec
+        xi = spec.xi
+        P = self.e.g2.mul(spec.g2_gen, 0xDEADBEEF)
+        for inv in (False, True):
+            base = t.f2_inv(xi) if inv else xi
+            cx = t.f2_pow(base, (p - 1) // 3)
+            cy = t.f2_pow(base, (p - 1) // 2)
+            psi = lambda Q: (
+                t.f2_mul(t.f2_conj(Q[0]), cx),
+                t.f2_mul(t.f2_conj(Q[1]), cy),
+            )  # noqa: E731
+            Q1 = psi(P)
+            if not self.e.g2.is_on_curve(Q1):
+                continue
+            # psi^2(P) - [t]psi(P) + [p]P == O
+            chk = self.e.g2.add(
+                self.e.g2.add(psi(Q1), self.e.g2.neg(self.e.g2.mul(Q1, spec.t))),
+                self.e.g2.mul(P, p),
+            )
+            if chk is None:
+                self._psi_consts = (cx, cy)
+                return self._psi_consts
+        raise ValueError("no psi convention satisfied the characteristic equation")
+
+    def psi(self, P: Point) -> Point:
+        if P is None:
+            return None
+        cx, cy = self.psi_consts
+        t = self.e.tw
+        return (t.f2_mul(t.f2_conj(P[0]), cx), t.f2_mul(t.f2_conj(P[1]), cy))
+
+    def _g2_mul_signed(self, P: Point, k: int) -> Point:
+        Q = self.e.g2.mul(P, abs(k))
+        return self.e.g2.neg(Q) if k < 0 else Q
+
     def _clear_cofactor_g2(self, P: Point) -> Point:
         from ..curves import isogeny_data as iso
 
         d = iso.G2.get(self.spec.name)
         if d is not None and "h_eff" in d:
-            # ciphersuite effective cofactor (RFC 9380 8.8.2 for BLS12-381)
+            # ciphersuite effective cofactor (RFC 9380 8.8.2 for BLS12-381);
+            # equals the Budroni-Pintore endomorphism method below
+            # (pinned by tests/test_hash_to_curve_sswu.py).
             return self.e.g2.mul(P, d["h_eff"])
-        return self.e.g2.mul(P, self.spec.h2)
+        x = self.spec.x
+        add, g2 = self.e.g2.add, self.e.g2
+        if self.spec.family == Family.BLS12:
+            # Budroni-Pintore (eprint 2017/419 §4.1), gnark's ClearCofactor:
+            # [x^2-x-1]P + [x-1]psi(P) + psi^2([2]P)
+            acc = self._g2_mul_signed(P, x * x - x - 1)
+            acc = add(acc, self.psi(self._g2_mul_signed(P, x - 1)))
+            return add(acc, self.psi(self.psi(g2.add(P, P))))
+        # BN: Fuentes-Castaneda et al. (SAC 2011), gnark's BN254 method:
+        # [x]P + psi([3x]P) + psi^2([x]P) + psi^3(P)
+        xP = self._g2_mul_signed(P, x)
+        acc = add(xP, self.psi(self._g2_mul_signed(P, 3 * x)))
+        acc = add(acc, self.psi(self.psi(xP)))
+        out = add(acc, self.psi(self.psi(self.psi(P))))
+        if self.e.g2.mul(out, self.spec.r) is not None:  # pragma: no cover
+            # formula failed to land in the r-torsion: fall back to [h2]P
+            return self.e.g2.mul(P, self.spec.h2)
+        return out
 
     # -- AMCL legacy Bls_hash (driver/amcl/fp256bn.go:169-178) ------------------
     def amcl_bls_hash(self, msg: bytes) -> Point:

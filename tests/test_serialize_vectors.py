@@ -60,3 +60,40 @@ def test_amcl_prefixes():
     assert b[0] == 0x04 and len(b) == 65
     comp = c.GenG1.Compressed()
     assert comp[0] in (0x02, 0x03) and len(comp) == 33
+
+
+def test_bls12_377_g2_generator_pinned():
+    """The G2 generator is the published zexe/arkworks value that gnark's
+    bls12377.Generators() returns (driver/gurvy/bls12-377.go:266-273),
+    validated on-twist and order-r at spec build; these bytes pin the gnark
+    wire encoding of it."""
+    c = Curves[CurveID.BLS12_377_GURVY]
+    assert c.GenG2.Compressed().hex() == (
+        "c0ea6040e700403170dc5a51b1b140d5532777ee6651cecbe7223ece0799c9de"
+        "5cf89984bff76fe6b26bfefa6ea16afe018480be71c785fec89630a2a3841d01"
+        "c565f071203e50317ea501f557db6b9b71889f52bb53540274e3e48f7c005196"
+    )
+    assert c.GenG2.Bytes().hex().startswith(
+        "00ea6040e700403170dc5a51b1b140d5532777ee6651cecbe7223ece0799c9de"
+    )
+    assert len(c.GenG2.Bytes()) == 192
+
+
+def test_miracl_g2_wire_format():
+    """fp256bn_miracl.go:110-125: G2 4*MODBYTES+1 / 2*MODBYTES+1 with
+    miracl-core's 0x04 / 0x02|sgn0 prefixes; the legacy AMCL ID keeps the
+    bare 128-byte layout — the two FP256BN IDs genuinely differ."""
+    m = Curves[CurveID.FP256BN_AMCL_MIRACL]
+    a = Curves[CurveID.FP256BN_AMCL]
+    assert (m.G2ByteSize, m.CompressedG2ByteSize) == (129, 65)
+    assert (a.G2ByteSize, a.CompressedG2ByteSize) == (128, 128)
+    g = m.GenG2.Mul(m.NewZrFromInt(9))
+    b, cb = g.Bytes(), g.Compressed()
+    assert len(b) == 129 and b[0] == 0x04
+    assert len(cb) == 65 and cb[0] in (0x02, 0x03)
+    for raw in (b, cb):
+        got, err = m.NewG2FromBytes(raw) if len(raw) == 129 else m.NewG2FromCompressed(raw)
+        assert err is None and got.Equals(g)
+    # same point, different bytes on the legacy ID
+    ga = a.GenG2.Mul(a.NewZrFromInt(9))
+    assert ga.Bytes() != b and len(ga.Bytes()) == 128
