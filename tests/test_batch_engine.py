@@ -23,6 +23,7 @@ def test_msm_and_scalar_mul(be):
     assert got == [eng.g1.mul(pts[i], ks[i]) for i in range(2)]
 
 
+@pytest.mark.slow  # pairing compile
 def test_pairing_batch_and_product(be):
     eng = be.host
     rng = random.Random(2)
@@ -36,6 +37,7 @@ def test_pairing_batch_and_product(be):
     assert be.pairing_product_is_one([P, P], [Q, Q]) is False
 
 
+@pytest.mark.slow  # pairing compile (verify) on CPU
 def test_bls_sign_verify(be):
     sk = 0x2A2B2C
     pk = be.host.g2.mul(be.host.gen_g2, sk)

@@ -41,6 +41,7 @@ def test_msm_matches_host(curve):
     assert out == expect
 
 
+@pytest.mark.slow  # c=8 bucket-table compile on CPU is minutes
 def test_msm_chunked_segments_c8():
     """n > 64 exercises the recursive chunked segment scan, with heavy
     digit duplication so bucket segments span chunk boundaries."""

@@ -31,6 +31,7 @@ def _encode_pairs(ctx, pairs):
     return xP, yP, Qx, Qy
 
 
+@pytest.mark.slow  # full Miller+final-exp compile per curve
 def test_pairing_matches_host(curve):
     eng = get_engine(curve)
     ctx = get_pairing_ctx(curve)
@@ -47,6 +48,7 @@ def test_pairing_matches_host(curve):
     assert out[1] == eng.gt_exp(out[0], a * b % curve.r)
 
 
+@pytest.mark.slow  # full Miller+final-exp compile per curve
 def test_miller_product_shared_final_exp(curve):
     """Batched pairing product (the Pairing2 seam, math.go:869-871):
     multiply Miller values, one shared final exp."""

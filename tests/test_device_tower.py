@@ -100,6 +100,7 @@ def test_f12_pow(tw, ht, spec):
     assert got == ht.f12_pow(x, e)
 
 
+@pytest.mark.slow  # XLA:CPU compile of the final-exp scan chain is minutes/curve
 def test_f12_final_exp(tw, ht, spec):
     rng = random.Random(6)
     x = _rand_f12(spec.p, rng)

@@ -13,6 +13,7 @@ from mathlib_tpu.ops.field import get_fp_ctx, int_to_limbs
 from mathlib_tpu.ops.tower import get_tower_ctx
 
 
+@pytest.mark.slow  # 255-step f12 square-multiply scan compile
 def test_f12_pow_scalars():
     spec = get_spec("BLS12_381")
     tw = get_tower_ctx(spec)
