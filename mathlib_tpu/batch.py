@@ -124,8 +124,36 @@ class BatchEngine:
         return bool(np.asarray(f(xP, yP, Qx, Qy))[0])
 
     # ------------------------------------------------------------- BLS ------
+    def _device_hash_ctx(self):
+        """Device hash-to-G1 context, or None if this curve is host-only
+        (no SSWU isogeny data, or p % 4 != 3 — see ops/hash.py gate)."""
+        try:
+            from .ops.hash import get_hash_g1_ctx
+
+            return get_hash_g1_ctx(self.spec)
+        except ValueError:
+            return None
+
+    def hash_to_g1_batch(self, messages: Sequence[bytes], dst: bytes = b"") -> Array:
+        """Messages -> (3, L, N) projective device points.
+
+        Host does only expand_message_xmd; the SSWU map, isogeny, and
+        cofactor clearing are one jitted device program (ops/hash.py)."""
+        from .ops.hash import hash_to_g1_batch as device_hash
+
+        return device_hash(self.spec, messages, dst)
+
     def bls_sign_batch(self, sk: int, messages: Sequence[bytes], dst: bytes = b"") -> List:
-        """sig_i = [sk] H(m_i): host hash-to-curve, device scalar mul."""
+        """sig_i = [sk] H(m_i).
+
+        On SSWU curves the hash runs on device (host keeps only the XMD
+        bytes) and feeds the batched scalar-mul program directly; other
+        curves fall back to the exact host hasher."""
+        if self._device_hash_ctx() is not None:
+            H = self.hash_to_g1_batch(messages, dst)
+            S = self.g1.encode_scalars([sk] * len(messages))
+            f = self._cached("g1_smul", self.g1.scalar_mul)
+            return self.g1.decode_points(f(H, jnp.asarray(S)))
         hasher = get_hasher(self.spec)
         pts = [hasher.hash_to_g1(m, dst) for m in messages]
         return self.g1_scalar_mul(pts, [sk] * len(pts))
