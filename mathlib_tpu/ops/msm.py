@@ -298,6 +298,36 @@ def _weighted_bucket_sum_bits(g1: G1Ctx, buckets: Array, c: int) -> Array:
     return acc
 
 
+def bucket_table(g1: G1Ctx, points: Array, scalars: Array, c: int) -> Array:
+    """Stage 1 of Pippenger: per-window bucket sums, (3, L, nwin, 2^c).
+
+    Public seam so multi-chip MSM (parallel/msm.py) can shard the O(N)
+    bucket accumulation over points and reduce bucket *tables* over ICI.
+    """
+    assert LIMB_BITS % c == 0
+    nwin = -(-g1.nbits // c)
+    digits = _digits(scalars, c, nwin)  # (nwin, N)
+    return _bucket_table(g1, points, digits, c)
+
+
+def window_totals(g1: G1Ctx, buckets: Array, c: int) -> Array:
+    """Stage 2: weighted bucket sums per window, (3, L, nwin)."""
+    return _weighted_bucket_sum(g1, buckets, c)
+
+
+def horner_windows(g1: G1Ctx, totals: Array, c: int) -> Array:
+    """Stage 3: Horner recombination over windows -> one (3, L, 1) point."""
+
+    def horner(acc, t_w):
+        for _ in range(c):
+            acc = g1.double(acc)
+        return g1.add(acc, t_w[..., None]), None
+
+    rev = jnp.moveaxis(jnp.flip(totals, axis=-1), -1, 0)  # (nwin, 3, L)
+    acc, _ = jax.lax.scan(horner, rev[0][..., None], rev[1:])
+    return acc  # (3, L, 1)
+
+
 def msm(
     g1: G1Ctx,
     points: Array,
@@ -311,23 +341,9 @@ def msm(
     ``c`` must divide 16.  Returns a single (3, L, 1) point.
     """
     del win_chunk
-    assert LIMB_BITS % c == 0
-    nbits = g1.nbits
-    nwin = -(-nbits // c)
-    digits = _digits(scalars, c, nwin)  # (nwin, N)
-
-    buckets = _bucket_table(g1, points, digits, c)  # (3, L, nwin, B)
-    totals = _weighted_bucket_sum(g1, buckets, c)  # (3, L, nwin)
-
-    # Horner over windows, high to low: acc = 2^c acc + T_w
-    def horner(acc, t_w):
-        for _ in range(c):
-            acc = g1.double(acc)
-        return g1.add(acc, t_w[..., None]), None
-
-    rev = jnp.moveaxis(jnp.flip(totals, axis=-1), -1, 0)  # (nwin, 3, L)
-    acc, _ = jax.lax.scan(horner, rev[0][..., None], rev[1:])
-    return acc  # (3, L, 1)
+    buckets = bucket_table(g1, points, scalars, c)  # (3, L, nwin, B)
+    totals = window_totals(g1, buckets, c)  # (3, L, nwin)
+    return horner_windows(g1, totals, c)
 
 
 def msm_naive(g1: G1Ctx, points: Array, scalars: Array) -> Array:

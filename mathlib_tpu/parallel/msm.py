@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops.g1 import G1Ctx
-from ..ops.msm import msm
+from ..ops.msm import bucket_table, horner_windows, msm, window_totals
 
 Array = jax.Array
 
@@ -35,6 +35,29 @@ def allreduce_point(g1: G1Ctx, x: Array, axis_name: str) -> Array:
     reduction beats a ppermute butterfly at any realistic device count.
     """
     gathered = jax.lax.all_gather(x, axis_name)  # (ndev, 3, L, 1)
+    return g1.sum_reduce_axis(gathered, axis=0)
+
+
+def allreduce_points_butterfly(
+    g1: G1Ctx, x: Array, axis_name: str, ndev: int
+) -> Array:
+    """All-reduce a point *array* with group addition over a mesh axis.
+
+    Group addition is not an XLA reduction op, so ``lax.psum`` cannot
+    carry it; instead run the recursive-doubling butterfly by hand —
+    log2(ndev) ``ppermute`` exchanges, each followed by one batched
+    complete-formula point add.  Payload per step is the full array, so
+    use this for bucket tables (W*2^c points); single points go through
+    :func:`allreduce_point`.
+    """
+    if ndev & (ndev - 1) == 0:
+        step = 1
+        while step < ndev:
+            perm = [(i, i ^ step) for i in range(ndev)]
+            x = g1.add(x, jax.lax.ppermute(x, axis_name, perm=perm))
+            step *= 2
+        return x
+    gathered = jax.lax.all_gather(x, axis_name)
     return g1.sum_reduce_axis(gathered, axis=0)
 
 
@@ -63,6 +86,62 @@ def sharded_msm(
     def _run(pts, scs):
         local = msm(g1, pts, scs, c=c, win_chunk=win_chunk)
         return allreduce_point(g1, local, axis)
+
+    return _run(points, scalars)
+
+
+def sharded_msm_buckets(
+    g1: G1Ctx,
+    points: Array,
+    scalars: Array,
+    mesh: Mesh,
+    axis: str = "data",
+    c: int = 8,
+) -> Array:
+    """Bucket-parallel MSM: bucket tables reduced over ICI, bucket-sum
+    tail sharded over windows (SURVEY §2 parallelism item 2).
+
+    Pipeline per device:
+      1. local Pippenger bucket table over its point shard (the O(N) part),
+      2. butterfly all-reduce of the (W, 2^c) point tables over ICI —
+         after this every device holds the *global* bucket table,
+      3. weighted bucket sum for a 1/ndev slice of the windows (the
+         O(W·2^c) tail now runs ndev-way parallel instead of duplicated),
+      4. all-gather of the W per-window totals (W single points) + a
+         replicated Horner recombination.
+
+    Collective payload is W·2^c points per butterfly step, so this
+    strategy wants moderate window widths (c <= 10); at c=16 the table
+    rivals the input size and :func:`sharded_msm` (result reduction) wins.
+    ``points``: (3, L, N); ``scalars``: (S, N); N divisible by ndev.
+    """
+    ndev = mesh.shape[axis]
+    nwin = -(-g1.nbits // c)
+    wpd = -(-nwin // ndev)  # windows per device (last device may pad)
+    npad = ndev * wpd - nwin
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def _run(pts, scs):
+        local = bucket_table(g1, pts, scs, c)  # (3, L, W, B)
+        full = allreduce_points_butterfly(g1, local, axis, ndev)
+        if npad:  # pad with infinity windows: Horner no-ops at the top
+            L, B = full.shape[1], full.shape[-1]
+            inf = jnp.broadcast_to(
+                jnp.asarray(g1.inf)[..., None], (3, L, npad, B)
+            )
+            full = jnp.concatenate([full, inf], axis=-2)
+        idx = jax.lax.axis_index(axis)
+        mine = jax.lax.dynamic_slice_in_dim(full, idx * wpd, wpd, axis=-2)
+        totals = window_totals(g1, mine, c)  # (3, L, wpd)
+        allw = jax.lax.all_gather(totals, axis)  # (ndev, 3, L, wpd)
+        allw = jnp.moveaxis(allw, 0, -2).reshape(3, totals.shape[1], -1)
+        return horner_windows(g1, allw, c)
 
     return _run(points, scalars)
 

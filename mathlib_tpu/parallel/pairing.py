@@ -35,7 +35,7 @@ def _local_f12_product(tw, f: Array) -> Array:
     return f
 
 
-def sharded_pairing_check(
+def sharded_miller_product(
     ctx: PairingCtx,
     xP: Array,
     yP: Array,
@@ -44,10 +44,13 @@ def sharded_pairing_check(
     mesh: Mesh,
     axis: str = "data",
 ) -> Array:
-    """prod_i e(P_i, Q_i) == 1 with the pair batch sharded over ``axis``.
+    """prod_i miller(P_i, Q_i) with the pair batch sharded over ``axis``.
 
     xP, yP: (L, N); Qx, Qy: (2, L, N); N divisible by the axis size.
-    Returns a scalar bool (replicated).
+    Returns the unreduced Fp12 Miller product, (2, 3, 2, L, 1), replicated.
+    This is the multi-chip part of a pairing-product check; the final
+    exponentiation is replicated (no sharding), so callers jit it
+    separately or evaluate it on the host tower.
     """
     tw = ctx.tw
 
@@ -65,6 +68,27 @@ def sharded_pairing_check(
         prod = gathered[0]
         for i in range(1, gathered.shape[0]):
             prod = tw.f12_mul(prod, gathered[i])
-        return tw.f12_is_one(ctx.final_exp(prod))[..., 0]
+        return prod
 
     return _run(xP, yP, Qx, Qy)
+
+
+def sharded_pairing_check(
+    ctx: PairingCtx,
+    xP: Array,
+    yP: Array,
+    Qx: Array,
+    Qy: Array,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Array:
+    """prod_i e(P_i, Q_i) == 1 with the pair batch sharded over ``axis``.
+
+    Returns a scalar bool (replicated).  The final exp runs once on the
+    replicated Miller product (it is sharding-free; on-device here so the
+    whole check is one program for TPU use — the CPU dry run avoids its
+    compile cost via :func:`sharded_miller_product` + host final exp).
+    """
+    tw = ctx.tw
+    prod = sharded_miller_product(ctx, xP, yP, Qx, Qy, mesh, axis)
+    return tw.f12_is_one(ctx.final_exp(prod))[..., 0]
