@@ -129,9 +129,14 @@ def sharded_msm_buckets(
     )
     def _run(pts, scs):
         local = bucket_table(g1, pts, scs, c)  # (3, L, W, B)
-        full = allreduce_points_butterfly(g1, local, axis, ndev)
+        L, B = local.shape[1], local.shape[-1]
+        # group adds expect the (3, L, lanes) layout (coords on axis -3):
+        # flatten windows*buckets onto lanes for the collective
+        flat = allreduce_points_butterfly(
+            g1, local.reshape(3, L, nwin * B), axis, ndev
+        )
+        full = flat.reshape(3, L, nwin, B)
         if npad:  # pad with infinity windows: Horner no-ops at the top
-            L, B = full.shape[1], full.shape[-1]
             inf = jnp.broadcast_to(
                 jnp.asarray(g1.inf)[..., None], (3, L, npad, B)
             )

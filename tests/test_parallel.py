@@ -1,0 +1,145 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Covers parallel/msm.py (both reduction strategies) and
+parallel/pairing.py at small shapes — the same code paths
+__graft_entry__.dryrun_multichip exercises.  Every oracle comes from the
+exact host engine, so each test compiles exactly ONE device program (its
+sharded variant); input shapes match the dryrun's where possible so the
+persistent compile cache is shared with the driver run.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mathlib_tpu.curves.params import get_spec
+from mathlib_tpu.host.engine import get_engine
+from mathlib_tpu.ops.g1 import get_g1_ctx
+from mathlib_tpu.parallel.msm import make_mesh, sharded_msm, sharded_msm_buckets
+
+SPEC = get_spec("BLS12_381")
+
+
+def _msm_inputs(n, seed=7):
+    """Host-engine points/scalars encoded to device layout (no compiles)."""
+    g1 = get_g1_ctx(SPEC)
+    eng = get_engine(SPEC)
+    rng = np.random.default_rng(seed)
+    ks = [int.from_bytes(rng.bytes(31), "big") % SPEC.r for _ in range(n)]
+    host_pts = [eng.g1.mul(eng.gen_g1, k) for k in ks]
+    scalars = [int.from_bytes(rng.bytes(31), "big") % SPEC.r for _ in range(n)]
+    want = eng.g1.msm(host_pts, scalars)
+    return g1, g1.encode_points(host_pts), np.asarray(g1.encode_scalars(scalars)), want
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_msm_matches_host(mesh8):
+    g1, pts, scalars, want = _msm_inputs(32)
+    out = jax.jit(lambda p, s: sharded_msm(g1, p, s, mesh8, c=4))(pts, scalars)
+    assert g1.decode_point(np.asarray(out)) == want
+
+
+def test_sharded_msm_buckets_matches_host(mesh8):
+    g1, pts, scalars, want = _msm_inputs(32)
+    out = jax.jit(lambda p, s: sharded_msm_buckets(g1, p, s, mesh8, c=4))(
+        pts, scalars
+    )
+    assert g1.decode_point(np.asarray(out)) == want
+
+
+def test_sharded_msm_with_explicit_sharding(mesh8):
+    """Inputs device_put with a NamedSharding, as a real pjit caller would
+    (and as the dryrun does) — same shapes as test_sharded_msm_matches_host
+    so the compiled program is reused."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    g1, pts, scalars, want = _msm_inputs(32, seed=9)
+    pts = jax.device_put(pts, NamedSharding(mesh8, P(None, None, "data")))
+    scalars = jax.device_put(scalars, NamedSharding(mesh8, P(None, "data")))
+    out = jax.jit(lambda p, s: sharded_msm(g1, p, s, mesh8, c=4))(pts, scalars)
+    assert g1.decode_point(np.asarray(out)) == want
+
+
+def _pair_batch(n_devices):
+    """The dryrun's pair layout: n_devices copies of {(P,Q), (-P,Q)}."""
+    from mathlib_tpu.ops.pairing import get_pairing_ctx
+
+    eng = get_engine(SPEC)
+    ctx = get_pairing_ctx(SPEC)
+    P1 = eng.g1.mul(eng.gen_g1, 7)
+    Q1 = eng.g2.mul(eng.gen_g2, 11)
+    pairs = [(P1, Q1), (eng.g1.neg(P1), Q1)] * n_devices
+    fp, tw = ctx.tw.fp, ctx.tw
+    xP = np.concatenate([fp.encode(pt[0]) for pt, _ in pairs], axis=-1)
+    yP = np.concatenate([fp.encode(pt[1]) for pt, _ in pairs], axis=-1)
+    Qx = np.concatenate([tw.f2_encode(Q[0]) for _, Q in pairs], axis=-1)
+    Qy = np.concatenate([tw.f2_encode(Q[1]) for _, Q in pairs], axis=-1)
+    return eng, ctx, xP, yP, Qx, Qy
+
+
+def test_sharded_miller_product(mesh8):
+    """The dryrun's pairing shape: sharded Miller product, host final exp.
+
+    Same shapes/program as dryrun_multichip so the persistent compile
+    cache is shared with the driver run.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mathlib_tpu.host.fields import get_tower
+    from mathlib_tpu.parallel.pairing import sharded_miller_product
+
+    eng, ctx, xP, yP, Qx, Qy = _pair_batch(8)
+    sh2 = NamedSharding(mesh8, P(None, "data"))
+    sh3 = NamedSharding(mesh8, P(None, None, "data"))
+    prod = jax.jit(
+        lambda a, b, c2, d: sharded_miller_product(ctx, a, b, c2, d, mesh8)
+    )(
+        jax.device_put(xP, sh2),
+        jax.device_put(yP, sh2),
+        jax.device_put(Qx, sh3),
+        jax.device_put(Qy, sh3),
+    )
+    ht = get_tower(SPEC)
+    got = ctx.tw.f12_decode(np.asarray(prod))[0]
+    assert ht.f12_final_exp(got) == ht.F12_ONE
+
+
+def test_backend_single_process_noop_and_mesh():
+    """init_multihost is a safe no-op off-pod; global_mesh spans devices."""
+    from mathlib_tpu.parallel import backend
+
+    assert backend.init_multihost() is False  # no coordinator configured
+    mesh = backend.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    info = backend.runtime_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8
+
+
+@pytest.mark.slow
+def test_sharded_pairing_check(mesh8):
+    """prod e(P_i, Q_i) == 1 entirely on device (final exp in-program).
+
+    Slow: compiles the Miller scan + final exp under shard_map on CPU.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mathlib_tpu.parallel.pairing import sharded_pairing_check
+
+    eng, ctx, xP, yP, Qx, Qy = _pair_batch(4)
+    sh2 = NamedSharding(mesh8, P(None, "data"))
+    sh3 = NamedSharding(mesh8, P(None, None, "data"))
+    ok = jax.jit(
+        lambda a, b, c2, d: sharded_pairing_check(ctx, a, b, c2, d, mesh8)
+    )(
+        jax.device_put(xP, sh2),
+        jax.device_put(yP, sh2),
+        jax.device_put(Qx, sh3),
+        jax.device_put(Qy, sh3),
+    )
+    assert bool(np.asarray(ok)) is True
