@@ -53,6 +53,38 @@ def _digits(scalars: Array, c: int, nwin: int) -> Array:
     return jnp.stack(wins, axis=0)
 
 
+def _signed_digits(scalars: Array, c: int, nwin: int, nbits: Optional[int] = None):
+    """Balanced (signed) window digits: k = sum_w d_w 2^(cw) with
+    d_w in [-(2^(c-1)-1), 2^(c-1)].
+
+    Returns (abs, neg): magnitudes in [0, 2^(c-1)] and sign flags, shaped
+    (nwin, N) — or (nwin + 1, N) when scalars may reach 2^(c*nwin - 1)
+    (e.g. FP256BN's 256-bit r at c*nwin = 256), where the extra top window
+    holds the outgoing carry.  Halves the bucket count versus unsigned
+    digits — the point for digit -d goes into bucket d with its y negated
+    at gather time (one masked subtract, vs 2^(c-1) extra buckets).
+    """
+    raw = _digits(scalars, c, nwin)  # (nwin, N) in [0, 2^c)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+
+    def body(carry, d):
+        t = d + carry
+        neg = t > half
+        a = jnp.where(neg, full - t, t)
+        return neg.astype(d.dtype), (a, neg)
+
+    carry0 = jnp.zeros(raw.shape[1:], raw.dtype)
+    last_carry, (absd, neg) = jax.lax.scan(body, carry0, raw)
+    if nbits is None or nbits >= c * nwin:
+        # scalars can fill the top window: keep the outgoing carry
+        absd = jnp.concatenate([absd, last_carry[None]], axis=0)
+        neg = jnp.concatenate(
+            [neg, jnp.zeros((1,) + neg.shape[1:], dtype=bool)], axis=0
+        )
+    return absd, neg
+
+
 def _seg_scan_inclusive(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
     """Inclusive segmented point-sum scan along the last (lane) axis.
 
@@ -110,13 +142,25 @@ def _seg_scan_inclusive(g1: G1Ctx, keys: Array, pts: Array, K: int = 64):
 
 
 def _bucket_table(
-    g1: G1Ctx, points: Array, digits: Array, c: int, K: int = 64
+    g1: G1Ctx,
+    points: Array,
+    digits: Array,
+    c: int,
+    K: int = 64,
+    neg: Optional[Array] = None,
 ) -> Array:
-    """Bucket sums for all windows: (3, L, W, B) with B = 2^c.
+    """Bucket sums for all windows: (3, L, W, B).
 
     points: (3, L, N); digits: (W, N).  Streaming scatter-during-scan: the
     full point set is touched exactly once per window (gather + one fused
     add_select), and finished segments go straight into the bucket table.
+
+    Unsigned mode (neg=None): digits in [0, 2^c), B = 2^c buckets indexed
+    by digit (bucket 0 is computed but unused downstream).  Signed mode:
+    digits are |d| in [0, 2^(c-1)] with ``neg`` (W, N) sign flags,
+    B = 2^(c-1) buckets indexed by |d| - 1 (|d| = 0 contributes nothing),
+    and the gathered point's y is conditionally negated — one masked
+    subtract per step versus half the buckets everywhere downstream.
 
     Memory layout: the random-access sides (point gather, bucket scatter)
     run in point-major rows — one point = 3*L consecutive words — so every
@@ -127,11 +171,14 @@ def _bucket_table(
     """
     W, N = digits.shape
     L = points.shape[-2]
-    B = 1 << c
+    signed = neg is not None
+    B = 1 << (c - 1) if signed else 1 << c
+    lo = 1 if signed else 0  # smallest digit that owns a bucket
     R = 3 * L  # words per point row
 
     order = jnp.argsort(digits, axis=1)  # (W, N)
     keys = jnp.take_along_axis(digits, order, axis=1)  # sorted
+    negs = jnp.take_along_axis(neg, order, axis=1) if signed else None
 
     pad = (-N) % K
     NP = N + pad
@@ -142,16 +189,23 @@ def _bucket_table(
         order = jnp.concatenate(
             [order, jnp.zeros((W, pad), order.dtype)], axis=1
         )  # gathered points for sentinel keys are never used
+        if signed:
+            negs = jnp.concatenate(
+                [negs, jnp.zeros((W, pad), dtype=bool)], axis=1
+            )
     C = NP // K
+
+    def bucket_of(k):  # digit -> flat bucket index (W*B = out of range)
+        return jnp.where(
+            jnp.logical_and(k >= lo, k - lo < B), win_ids * B + (k - lo), W * B
+        )
 
     # last element of each segment (flat sorted order) -> scatter target
     is_last = jnp.concatenate(
         [keys[:, :-1] != keys[:, 1:], jnp.ones((W, 1), dtype=bool)], axis=1
     )
     win_ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.uint32)[:, None], (W, NP))
-    scatter_idx = jnp.where(
-        jnp.logical_and(is_last, keys < B), win_ids * B + keys, W * B
-    )
+    scatter_idx = jnp.where(is_last, bucket_of(keys), W * B)
 
     def to_steps(x):  # (W, NP) -> (K, W*C), step-major
         return jnp.moveaxis(x.reshape(W, C, K), -1, 0).reshape(K, W * C)
@@ -159,6 +213,7 @@ def _bucket_table(
     keys_t = to_steps(keys)
     order_t = to_steps(order)
     sidx_t = to_steps(scatter_idx)
+    negs_t = to_steps(negs) if signed else None
 
     # point-major copy for the streaming gather: one row = one point
     points_rows = points.reshape(R, N).T  # (N, R)
@@ -172,17 +227,21 @@ def _bucket_table(
 
     def body(carry, x):
         ck, cp, bucket_rows = carry
-        k, o, si = x
+        if signed:
+            k, o, si, ng = x
+        else:
+            k, o, si = x
         p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
+        if signed:
+            p = g1.select(ng, g1.neg(p), p)
         run = g1.add_select(cp, p, k == ck)
         bucket_rows = bucket_rows.at[si].set(
             run.reshape(R, W * C).T, mode="drop"
         )
         return (k, run, bucket_rows), None
 
-    (_, final_run, bucket_rows), _ = jax.lax.scan(
-        body, init, (keys_t, order_t, sidx_t)
-    )
+    xs = (keys_t, order_t, sidx_t, negs_t) if signed else (keys_t, order_t, sidx_t)
+    (_, final_run, bucket_rows), _ = jax.lax.scan(body, init, xs)
 
     if C > 1:
         # cross-chunk carries from the chunk summaries (1/K the data)
@@ -201,8 +260,11 @@ def _bucket_table(
             [first_key[:, 1:], jnp.full((W, 1), _SENTINEL, keys.dtype)], axis=1
         )
         ends_here = first_key != next_first
-        fix = jnp.logical_and(jnp.logical_and(valid, ends_here), first_key < B)
-        tgt = jnp.where(fix, win_ids[:, :C] * B + first_key, W * B).reshape(-1)
+        in_range = jnp.logical_and(first_key >= lo, first_key - lo < B)
+        fix = jnp.logical_and(jnp.logical_and(valid, ends_here), in_range)
+        tgt = jnp.where(
+            fix, win_ids[:, :C] * B + (first_key - lo), W * B
+        ).reshape(-1)
         cur = bucket_rows[jnp.minimum(tgt, W * B - 1)]  # (W*C, R) row gather
         carry_flat = jnp.moveaxis(carry_pt, 0, -2).reshape(3, L, W * C)
         fixed = g1.add(cur.T.reshape(3, L, W * C), carry_flat)
@@ -298,21 +360,57 @@ def _weighted_bucket_sum_bits(g1: G1Ctx, buckets: Array, c: int) -> Array:
     return acc
 
 
-def bucket_table(g1: G1Ctx, points: Array, scalars: Array, c: int) -> Array:
-    """Stage 1 of Pippenger: per-window bucket sums, (3, L, nwin, 2^c).
+def n_windows(g1: G1Ctx, c: int, signed: bool = False) -> int:
+    """Static window count of the bucket table (incl. the signed-carry
+    window when r fills the top window exactly, e.g. FP256BN's 256-bit r)."""
+    nwin = -(-g1.nbits // c)
+    if signed and g1.nbits >= c * nwin:
+        nwin += 1
+    return nwin
 
-    Public seam so multi-chip MSM (parallel/msm.py) can shard the O(N)
-    bucket accumulation over points and reduce bucket *tables* over ICI.
+
+def bucket_table(
+    g1: G1Ctx,
+    points: Array,
+    scalars: Array,
+    c: int,
+    signed: bool = False,
+    K: int = 64,
+) -> Array:
+    """Stage 1 of Pippenger: per-window bucket sums.
+
+    (3, L, nwin, 2^c) unsigned (bucket = digit), or (3, L, nwin, 2^(c-1))
+    signed (bucket b = magnitude b+1; see _signed_digits).  Public seam so
+    multi-chip MSM (parallel/msm.py) can shard the O(N) bucket
+    accumulation over points and reduce bucket *tables* over ICI.
     """
     assert LIMB_BITS % c == 0
     nwin = -(-g1.nbits // c)
+    if signed:
+        absd, neg = _signed_digits(scalars, c, nwin, nbits=g1.nbits)
+        return _bucket_table(g1, points, absd, c, K=K, neg=neg)
     digits = _digits(scalars, c, nwin)  # (nwin, N)
-    return _bucket_table(g1, points, digits, c)
+    return _bucket_table(g1, points, digits, c, K=K)
 
 
-def window_totals(g1: G1Ctx, buckets: Array, c: int) -> Array:
-    """Stage 2: weighted bucket sums per window, (3, L, nwin)."""
-    return _weighted_bucket_sum(g1, buckets, c)
+def window_totals(
+    g1: G1Ctx, buckets: Array, c: int, signed: bool = False
+) -> Array:
+    """Stage 2: weighted bucket sums per window, (3, L, nwin).
+
+    Unsigned: sum_b b * S_b over B = 2^c.  Signed: bucket b holds the
+    magnitude-(b+1) sum, so the total is sum_b (b+1) S_b =
+    (sum_b b S_b) + (sum_b S_b) — the weighted sum over HALF the buckets
+    plus one plain tree reduction.
+    """
+    if not signed:
+        return _weighted_bucket_sum(g1, buckets, c)
+    L = buckets.shape[1]
+    W, B = buckets.shape[-2], buckets.shape[-1]
+    assert B == 1 << (c - 1)
+    weighted = _weighted_bucket_sum(g1, buckets, c - 1)
+    plain = _tree_reduce_last(g1, buckets.reshape(3, L, W * B), B)
+    return g1.add(weighted, plain)
 
 
 def horner_windows(g1: G1Ctx, totals: Array, c: int) -> Array:
@@ -334,15 +432,22 @@ def msm(
     scalars: Array,
     c: int = 8,
     win_chunk: Optional[int] = None,  # kept for API compat; unused
+    signed: bool = True,
+    K: int = 64,
 ) -> Array:
     """Pippenger MSM: sum_i [scalars_i] points_i.
 
     points: (3, L, N) projective; scalars: (S, N) plain 16-bit limbs.
     ``c`` must divide 16.  Returns a single (3, L, 1) point.
+
+    ``signed`` (default) uses balanced digits — half the buckets of the
+    unsigned form for one masked point negation per scan step (gnark's
+    MultiExp applies the same trick in its bucket method).  ``K`` is the
+    streaming-scan chunk count knob (scan steps; lanes per step = W*N/K).
     """
     del win_chunk
-    buckets = bucket_table(g1, points, scalars, c)  # (3, L, nwin, B)
-    totals = window_totals(g1, buckets, c)  # (3, L, nwin)
+    buckets = bucket_table(g1, points, scalars, c, signed=signed, K=K)
+    totals = window_totals(g1, buckets, c, signed=signed)  # (3, L, nwin)
     return horner_windows(g1, totals, c)
 
 

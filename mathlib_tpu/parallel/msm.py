@@ -97,26 +97,31 @@ def sharded_msm_buckets(
     mesh: Mesh,
     axis: str = "data",
     c: int = 8,
+    signed: bool = True,
 ) -> Array:
     """Bucket-parallel MSM: bucket tables reduced over ICI, bucket-sum
     tail sharded over windows (SURVEY §2 parallelism item 2).
 
     Pipeline per device:
       1. local Pippenger bucket table over its point shard (the O(N) part),
-      2. butterfly all-reduce of the (W, 2^c) point tables over ICI —
+      2. butterfly all-reduce of the (W, B) point tables over ICI —
          after this every device holds the *global* bucket table,
       3. weighted bucket sum for a 1/ndev slice of the windows (the
-         O(W·2^c) tail now runs ndev-way parallel instead of duplicated),
+         O(W·B) tail now runs ndev-way parallel instead of duplicated),
       4. all-gather of the W per-window totals (W single points) + a
          replicated Horner recombination.
 
-    Collective payload is W·2^c points per butterfly step, so this
-    strategy wants moderate window widths (c <= 10); at c=16 the table
-    rivals the input size and :func:`sharded_msm` (result reduction) wins.
+    Collective payload is W·B points per butterfly step (B = 2^(c-1)
+    signed, 2^c unsigned — signed digits halve the wire bytes too), so
+    this strategy wants moderate window widths (c <= 10); at c=16 the
+    table rivals the input size and :func:`sharded_msm` (result
+    reduction) wins.
     ``points``: (3, L, N); ``scalars``: (S, N); N divisible by ndev.
     """
+    from ..ops.msm import n_windows
+
     ndev = mesh.shape[axis]
-    nwin = -(-g1.nbits // c)
+    nwin = n_windows(g1, c, signed)
     wpd = -(-nwin // ndev)  # windows per device (last device may pad)
     npad = ndev * wpd - nwin
 
@@ -128,7 +133,7 @@ def sharded_msm_buckets(
         check_rep=False,
     )
     def _run(pts, scs):
-        local = bucket_table(g1, pts, scs, c)  # (3, L, W, B)
+        local = bucket_table(g1, pts, scs, c, signed=signed)  # (3, L, W, B)
         L, B = local.shape[1], local.shape[-1]
         # group adds expect the (3, L, lanes) layout (coords on axis -3):
         # flatten windows*buckets onto lanes for the collective
@@ -143,7 +148,7 @@ def sharded_msm_buckets(
             full = jnp.concatenate([full, inf], axis=-2)
         idx = jax.lax.axis_index(axis)
         mine = jax.lax.dynamic_slice_in_dim(full, idx * wpd, wpd, axis=-2)
-        totals = window_totals(g1, mine, c)  # (3, L, wpd)
+        totals = window_totals(g1, mine, c, signed=signed)  # (3, L, wpd)
         allw = jax.lax.all_gather(totals, axis)  # (ndev, 3, L, wpd)
         allw = jnp.moveaxis(allw, 0, -2).reshape(3, totals.shape[1], -1)
         return horner_windows(g1, allw, c)
