@@ -141,7 +141,8 @@ class G2Ctx:
         return jnp.logical_and(self.tw.f2_eq(a, b), self.tw.f2_eq(c, d))
 
     def select(self, mask: Array, P: Array, Q: Array) -> Array:
-        return jnp.where(mask[..., None, None, None, None, :], P, Q)
+        """mask (..., B) ? P : Q over (..., 3, 2, L, B) point batches."""
+        return jnp.where(mask[..., None, None, None, :], P, Q)
 
     def neg(self, P: Array) -> Array:
         return P.at[..., 1, :, :, :].set(self.tw.f2_neg(P[..., 1, :, :, :]))

@@ -192,6 +192,202 @@ def get_hash_g1_ctx(spec: CurveSpec) -> HashG1Ctx:
 
 
 # ---------------------------------------------------------------------------
+# G2: SSWU on E''(Fp2), 3-isogeny, endomorphism cofactor clearing
+# ---------------------------------------------------------------------------
+
+
+class HashG2Ctx:
+    """Batched device hash-to-G2 (BLS12-381: RFC 9380 BLS12381G2 suite).
+
+    Mirrors HashG1Ctx over Fp2.  The Fp2 square root uses the complex
+    method (curves/params.py _f2_sqrt, here branchless): for beta = -1,
+    sqrt(a0 + a1 u) has x0^2 in {(a0 +/- sqrt(a0^2 + a1^2))/2} — exactly
+    one delta is a QR when a is a square — and x1 = a1 / (2 x0).  Three
+    shared fp pow-scans per map (norm sqrt, delta sqrts, x0 inverse);
+    everything else is elementwise Fp2 lane arithmetic.
+
+    Cofactor clearing is Budroni-Pintore (eprint 2017/419 §4.1, gnark's
+    ClearCofactor): [x^2-x-1]P + [x-1]psi(P) + psi^2([2]P), with psi the
+    untwist-Frobenius-twist endomorphism — ~3 short static scans instead
+    of a 636-bit h_eff ladder.  Byte-equality with the host h_eff path is
+    pinned by tests/test_device_hash.py.
+    """
+
+    def __init__(self, spec: CurveSpec):
+        from ..curves import isogeny_data as iso
+        from ..host.fields import get_tower as get_host_tower
+        from .g2 import G2Ctx, get_g2_ctx
+        from .tower import get_tower_ctx
+
+        d = iso.G2.get(spec.name)
+        if d is None:
+            raise ValueError(f"{spec.name}: no G2 SSWU isogeny data")
+        if spec.p % 4 != 3 or spec.beta != spec.p - 1:
+            raise ValueError(
+                f"{spec.name}: device Fp2 sqrt needs p % 4 == 3 and beta == -1"
+            )
+        self.spec = spec
+        self.g2: G2Ctx = get_g2_ctx(spec)
+        self.tw = get_tower_ctx(spec)
+        self.fp: FpCtx = self.tw.fp
+        ht = get_host_tower(spec)
+        p = spec.p
+
+        A, B, Z = d["A"], d["B"], d["Z"]
+        f2e = self.tw.f2_encode
+        self.A = f2e(A)
+        self.B = f2e(B)
+        self.Z = f2e(Z)
+        self.negB_over_A = f2e(ht.f2_neg(ht.f2_mul(B, ht.f2_inv(A))))
+        self.B_over_ZA = f2e(ht.f2_mul(B, ht.f2_inv(ht.f2_mul(Z, A))))
+        self.iso = tuple([f2e(c) for c in coeffs] for coeffs in d["iso"])
+        self.inv2 = self.fp.encode((p + 1) // 2)  # 1/2 mod p
+
+        # psi constants from the (tested) host convention search
+        from ..host.hash_to_curve import get_hasher
+
+        cx, cy = get_hasher(spec).psi_consts
+        self.psi_cx, self.psi_cy = cx, cy
+
+        x = spec.x
+        self.x_bits_1 = bits_of(abs(x * x - x - 1))[::-1].copy()  # MSB first
+        self.x_neg_1 = (x * x - x - 1) < 0
+        self.x_bits_2 = bits_of(abs(x - 1))[::-1].copy()
+        self.x_neg_2 = (x - 1) < 0
+
+    # ----------------------------------------------------------- Fp2 sqrt ---
+    def f2_sqrt_candidate(self, a: Array) -> Array:
+        """Branchless candidate sqrt of (..., 2, L, B); correct whenever a
+        is a square (caller verifies f2_sqr(cand) == a)."""
+        fp, tw = self.fp, self.tw
+        a0 = a[..., 0, :, :]
+        a1 = a[..., 1, :, :]
+        # chain 1: s = sqrt(a0^2 + a1^2) (norm; beta = -1)
+        n = fp.add(fp.sqr(a0), fp.sqr(a1))
+        s = fp.sqrt(n)
+        inv2 = jnp.asarray(self.inv2)
+        d1 = fp.mont_mul(fp.add(a0, s), inv2)
+        d2 = fp.mont_mul(fp.sub(a0, s), inv2)
+        # chain 2 (stacked): sqrt of d1, d2, a0, -a0
+        cand = fp.sqrt(jnp.stack([d1, d2, a0, fp.neg(a0)], axis=0))
+        x0a, x0b, sa, sb = (cand[i] for i in range(4))
+        use1 = fp.eq(fp.sqr(x0a), d1)
+        x0 = fp.select(use1, x0a, x0b)
+        # chain 3: x1 = a1 / (2 x0)
+        x1 = fp.mont_mul(fp.mont_mul(a1, inv2), fp.inv(x0))
+        # a1 == 0: sqrt(a0) in Fp, else sqrt(-a0) * u  (beta = -1)
+        base0 = jnp.stack([sa, jnp.zeros_like(sa)], axis=-3)
+        base1 = jnp.stack([jnp.zeros_like(sb), sb], axis=-3)
+        base = tw.f2_select(fp.eq(fp.sqr(sa), a0), base0, base1)
+        full = jnp.stack([x0, x1], axis=-3)
+        return tw.f2_select(fp.is_zero(a1), base, full)
+
+    def _sgn0_f2(self, a: Array) -> Array:
+        """RFC 9380 sgn0 for m=2: sgn0(a0) unless a0 == 0, then sgn0(a1)."""
+        fp = self.fp
+        a0 = fp.canon(fp.from_mont(a[..., 0, :, :]))
+        a1 = fp.canon(fp.from_mont(a[..., 1, :, :]))
+        s0 = a0[..., 0, :] & 1
+        z0 = fp.is_zero(a[..., 0, :, :])
+        s1 = a1[..., 0, :] & 1
+        return jnp.where(z0, s1, s0)
+
+    # ---------------------------------------------------------------- SSWU --
+    def sswu(self, u: Array) -> Tuple[Array, Array]:
+        """map_to_curve_simple_swu on E''(Fp2): u (2, L, B) -> affine (x, y)."""
+        tw = self.tw
+        one = jnp.broadcast_to(jnp.asarray(tw.f2_one), u.shape)
+        t1 = tw.f2_mul(jnp.asarray(self.Z), tw.f2_sqr(u))  # Z u^2
+        t2 = tw.f2_add(tw.f2_sqr(t1), t1)  # Z^2 u^4 + Z u^2
+        x1 = tw.f2_mul(
+            jnp.asarray(self.negB_over_A), tw.f2_add(one, tw.f2_inv(t2))
+        )
+        x1 = tw.f2_select(
+            tw.f2_is_zero(t2),
+            jnp.broadcast_to(jnp.asarray(self.B_over_ZA), x1.shape),
+            x1,
+        )
+        gx1 = tw.f2_add(
+            tw.f2_mul(tw.f2_add(tw.f2_sqr(x1), jnp.asarray(self.A)), x1),
+            jnp.asarray(self.B),
+        )
+        x2 = tw.f2_mul(t1, x1)
+        t13 = tw.f2_mul(t1, tw.f2_sqr(t1))
+        gx2 = tw.f2_mul(gx1, t13)  # g(x2) = g(x1) Z^3 u^6
+
+        g = jnp.stack([gx1, gx2], axis=0)  # shared fp chains inside
+        y_cand = self.f2_sqrt_candidate(g)
+        is_sq = tw.f2_eq(tw.f2_sqr(y_cand[0]), gx1)
+        x = tw.f2_select(is_sq, x1, x2)
+        y = tw.f2_select(is_sq, y_cand[0], y_cand[1])
+
+        flip = self._sgn0_f2(u) != self._sgn0_f2(y)
+        y = tw.f2_select(flip, tw.f2_neg(y), y)
+        return x, y
+
+    # -------------------------------------------------------------- isogeny --
+    def _horner(self, coeffs, x: Array) -> Array:
+        tw = self.tw
+        acc = jnp.broadcast_to(jnp.asarray(coeffs[-1]), x.shape)
+        for c in reversed(coeffs[:-1]):
+            acc = tw.f2_add(tw.f2_mul(acc, x), jnp.asarray(c))
+        return acc
+
+    def iso_project(self, x: Array, y: Array) -> Array:
+        """(x, y) on E'' -> (3, 2, L, B) projective on E (no inversions)."""
+        tw = self.tw
+        xn, xd, yn, yd = (self._horner(cs, x) for cs in self.iso)
+        X = tw.f2_mul(xn, yd)
+        Y = tw.f2_mul(y, tw.f2_mul(yn, xd))
+        Z = tw.f2_mul(xd, yd)
+        return jnp.stack([X, Y, Z], axis=-4)
+
+    # ---------------------------------------------------------------- psi ----
+    def psi(self, P: Array) -> Array:
+        """Untwist-Frobenius-twist on projective (..., 3, 2, L, B):
+        (X : Y : Z) -> (conj(X) cx : conj(Y) cy : conj(Z))."""
+        tw = self.tw
+        X = tw.f2_mul_const(tw.f2_conj(P[..., 0, :, :, :]), self.psi_cx)
+        Y = tw.f2_mul_const(tw.f2_conj(P[..., 1, :, :, :]), self.psi_cy)
+        Z = tw.f2_conj(P[..., 2, :, :, :])
+        return jnp.stack([X, Y, Z], axis=-4)
+
+    # ------------------------------------------------------------- cofactor --
+    def _mul_bits(self, P: Array, bits, negate: bool) -> Array:
+        """[k] P by a double/add/select scan over static MSB-first bits."""
+        g2 = self.g2
+        acc = P
+
+        def body(a, bit):
+            a = g2.double(a)
+            sel = jnp.broadcast_to(jnp.bool_(bit), a.shape[:-4] + a.shape[-1:])
+            return g2.select(sel, g2.add(a, P), a), None
+
+        acc, _ = jax.lax.scan(body, acc, jnp.asarray(bits[1:]))
+        return g2.neg(acc) if negate else acc
+
+    def clear_cofactor(self, P: Array) -> Array:
+        """Budroni-Pintore: [x^2-x-1]P + [x-1]psi(P) + psi^2([2]P)."""
+        g2 = self.g2
+        acc = self._mul_bits(P, self.x_bits_1, self.x_neg_1)
+        acc = g2.add(acc, self.psi(self._mul_bits(P, self.x_bits_2, self.x_neg_2)))
+        return g2.add(acc, self.psi(self.psi(g2.double(P))))
+
+    # ---------------------------------------------------------- entry point --
+    def hash_to_g2(self, u0: Array, u1: Array) -> Array:
+        """(u0, u1) Fp2 batches (2, L, B) -> (3, 2, L, B) projective."""
+        x0, y0 = self.sswu(u0)
+        x1, y1 = self.sswu(u1)
+        P = self.g2.add(self.iso_project(x0, y0), self.iso_project(x1, y1))
+        return self.clear_cofactor(P)
+
+
+@lru_cache(maxsize=None)
+def get_hash_g2_ctx(spec: CurveSpec) -> HashG2Ctx:
+    return HashG2Ctx(spec)
+
+
+# ---------------------------------------------------------------------------
 # host seam: messages -> device points
 # ---------------------------------------------------------------------------
 
@@ -217,5 +413,29 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda a, b: ctx.hash_to_g1(a, b, sign))
+        _JIT_CACHE[key] = fn
+    return fn(u0, u1)
+
+
+def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
+                     hash_name: str = "sha256") -> Array:
+    """Batched messages -> (3, 2, L, N) projective G2 points on device.
+
+    Host work is the RFC hash_to_field_fp2 bytes; SSWU map, isogeny, and
+    endomorphism cofactor clearing run as one jitted device program.
+    Matches host hash_to_g2 (and through it RFC 9380 J.10.1)."""
+    from ..host.hash_to_curve import hash_to_field_fp2
+
+    ctx = get_hash_g2_ctx(spec)
+    L = 64 if spec.fp_bytes == 48 else 48
+    us = [hash_to_field_fp2(m, dst, spec.p, 2, L, hash_name) for m in msgs]
+    f2e = ctx.tw.f2_encode
+    u0 = np.concatenate([f2e(u[0]) for u in us], axis=-1)
+    u1 = np.concatenate([f2e(u[1]) for u in us], axis=-1)
+
+    key = (spec.name, "g2", len(msgs))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(ctx.hash_to_g2)
         _JIT_CACHE[key] = fn
     return fn(u0, u1)

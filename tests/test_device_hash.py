@@ -6,6 +6,7 @@ pipeline to the RFC vectors transitively.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -71,3 +72,44 @@ def test_device_hash_to_g1_bbs_sign():
 def test_device_hash_gate_rejects_non_sswu():
     with pytest.raises(ValueError):
         get_hash_g1_ctx(get_spec("BLS12_377"))  # p % 4 == 1: host-only
+
+
+# ------------------------------------------------------------------ G2 ------
+
+DST_G2 = b"QUUX-V01-CS02-with-BLS12381G2_XMD:SHA-256_SSWU_RO_"
+
+
+def test_device_f2_sqrt_candidate():
+    """Branchless Fp2 sqrt candidate == a true square root on squares."""
+    import random
+
+    from mathlib_tpu.host.fields import get_tower
+    from mathlib_tpu.ops.hash import get_hash_g2_ctx
+
+    ctx = get_hash_g2_ctx(SPEC)
+    ht = get_tower(SPEC)
+    rng = random.Random(11)
+    roots = [
+        (rng.randrange(SPEC.p), rng.randrange(SPEC.p)) for _ in range(6)
+    ] + [(5, 0), (0, 7), (1, 1)]
+    squares = [ht.f2_mul(r, r) for r in roots]
+    a = np.concatenate([ctx.tw.f2_encode(s) for s in squares], axis=-1)
+    cand = jax.jit(ctx.f2_sqrt_candidate)(jnp.asarray(a))
+    got = ctx.tw.f2_decode(np.asarray(cand))
+    for i, (s, r) in enumerate(zip(squares, roots)):
+        assert ht.f2_mul(got[i], got[i]) == s, f"lane {i}: cand^2 != a"
+
+
+def test_device_hash_to_g2_matches_host():
+    """Device G2 pipeline == host hash_to_g2 (RFC 9380 J.10.1 transitively;
+    the host path is pinned against the J.10.1 vectors in
+    test_hash_vectors.py)."""
+    from mathlib_tpu.ops.hash import get_hash_g2_ctx, hash_to_g2_batch
+
+    hasher = get_hasher(SPEC)
+    ctx = get_hash_g2_ctx(SPEC)
+    msgs = [b"", b"abc", b"abcdef0123456789"]
+    out = hash_to_g2_batch(SPEC, msgs, DST_G2)
+    got = ctx.g2.decode_points(np.asarray(out))
+    want = [hasher.hash_to_g2(m, DST_G2) for m in msgs]
+    assert got == want
