@@ -77,6 +77,15 @@ class G2Ctx:
 
         self.fr = get_fp_ctx(spec.r, spec.name + "_fr")
         self.F = Fp2Adapter(self.tw, spec.b2)
+        # fused Pallas kernels need beta == -1 and a small twist constant
+        # (BLS12-381: b3 = (12, 12)); other curves ride the stacked-f2 path
+        self._pallas_b3 = (
+            tuple(self.F.b3)
+            if spec.beta == spec.p - 1
+            and all(0 <= c < 256 for c in self.F.b3)
+            and any(self.F.b3)
+            else None
+        )
         t = self.tw
         gx, gy = spec.g2_gen
         self.gen = np.stack([t.f2_encode(gx), t.f2_encode(gy), t.f2_encode((1, 0))])
@@ -151,12 +160,45 @@ class G2Ctx:
         return P[..., 0, :, :, :], P[..., 1, :, :, :], P[..., 2, :, :, :]
 
     def double(self, P: Array) -> Array:
+        from .field import _pallas_enabled
+
+        if self._pallas_b3 and _pallas_enabled():
+            from .kernels.g2_pallas import double_pallas
+
+            return double_pallas(self.spec.p, self.fp.L, self._pallas_b3, P)
         X3, Y3, Z3 = weier.double_complete(self.F, self._unstack(P))
         return jnp.stack([X3, Y3, Z3], axis=-4)
 
     def add(self, P: Array, Q: Array) -> Array:
+        from .field import _pallas_enabled
+
+        if self._pallas_b3 and _pallas_enabled():
+            from .kernels.g2_pallas import add_pallas
+
+            return add_pallas(self.spec.p, self.fp.L, self._pallas_b3, P, Q)
         X3, Y3, Z3 = weier.add_complete(self.F, self._unstack(P), self._unstack(Q))
         return jnp.stack([X3, Y3, Z3], axis=-4)
+
+    def add_select(self, P: Array, Q: Array, sel: Array) -> Array:
+        """select(sel, P + Q, Q) — fused on TPU."""
+        from .field import _pallas_enabled
+
+        if self._pallas_b3 and _pallas_enabled():
+            from .kernels.g2_pallas import addsel_pallas
+
+            return addsel_pallas(self.spec.p, self.fp.L, self._pallas_b3, P, Q, sel)
+        return self.select(sel, self.add(P, Q), Q)
+
+    def dbl_add_select(self, P: Array, Q: Array, sel: Array) -> Array:
+        """select(sel, 2P + Q, 2P) — the scalar-mul inner step, fused on TPU."""
+        from .field import _pallas_enabled
+
+        if self._pallas_b3 and _pallas_enabled():
+            from .kernels.g2_pallas import dblsel_pallas
+
+            return dblsel_pallas(self.spec.p, self.fp.L, self._pallas_b3, P, Q, sel)
+        acc = self.double(P)
+        return self.select(sel, self.add(acc, Q), acc)
 
     def sub(self, P: Array, Q: Array) -> Array:
         return self.add(P, self.neg(Q))
@@ -178,10 +220,7 @@ class G2Ctx:
 
         def body(acc, t):
             bit = self._scalar_bit(scalars, nbits - 1 - t)
-            acc = self.double(acc)
-            added = self.add(acc, P)
-            acc = self.select(bit.astype(bool), added, acc)
-            return acc, None
+            return self.dbl_add_select(acc, P, bit.astype(bool)), None
 
         acc, _ = jax.lax.scan(body, acc0, jnp.arange(nbits))
         return acc

@@ -1,0 +1,288 @@
+"""Fused Pallas kernels for the complete G2 group law on the twist E'(Fp2).
+
+Same shape as g1_pallas.py one level up the tower: one kernel launch = one
+full RCB point operation with all Fp2 multiplies (3 base Montgomery muls
+each, Karatsuba) and every intermediate in VMEM/vector registers.  Replaces
+the stacked-XLA path that round 1 shipped (ops/g2.py docstring called the
+fused kernel "a later optimization" — this is it).
+
+Points are (3, 2, L, B) uint32 (projective, Fp2 = Fp[u]/(u^2 + 1) pairs,
+Montgomery limbs, relaxed [0,2p)); kernels view them as (3, 2L, M, 128)
+tiles.  Requires beta = -1 (all supported BN/BLS12 curves).  Formulas are
+RCB (eprint 2015/1060, Algs 7 & 9, a=0) — identical math to ops/weier.py
+through the Fp2Adapter, so kernels are bit-compatible with the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fp_rows import RowCtx
+
+TILE_SUBLANES = 8
+TILE = TILE_SUBLANES * 128
+
+
+class Row2Ctx:
+    """Fp2 arithmetic on pairs of limb-row vectors (beta = -1)."""
+
+    def __init__(self, p: int, L: int, b3: Tuple[int, int]):
+        self.F = RowCtx(p, L)
+        self.L = L
+        assert all(0 < c < 256 or c == 0 for c in b3) and any(b3)
+        self.b3 = b3
+
+    # an Fp2 element is (rows_c0, rows_c1)
+    def add(self, a, b):
+        F = self.F
+        return (F.add(a[0], b[0]), F.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        F = self.F
+        return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
+
+    def mul(self, a, b):
+        """Karatsuba over u^2 = -1: 3 base muls."""
+        F = self.F
+        t0 = F.mul(a[0], b[0])
+        t1 = F.mul(a[1], b[1])
+        t2 = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
+        re = F.sub(t0, t1)
+        im = F.sub(t2, F.add(t0, t1))
+        return (re, im)
+
+    def sqr(self, a):
+        """(a0+a1)(a0-a1) + 2 a0 a1 u: 2 base muls."""
+        F = self.F
+        re = F.mul(F.add(a[0], a[1]), F.sub(a[0], a[1]))
+        im = F.mul(a[0], a[1])
+        return (re, F.add(im, im))
+
+    def mul_b3(self, a):
+        """a * (c0 + c1 u) for the small twist constant 3*b2."""
+        F = self.F
+        c0, c1 = self.b3
+        if c1 == 0:
+            return (F.mul_small(a[0], c0), F.mul_small(a[1], c0))
+        if c0 == 0:
+            return (F.sub(self._zero(a), F.mul_small(a[1], c1)), F.mul_small(a[0], c1))
+        if c0 == c1:
+            s = F.mul_small(F.sub(a[0], a[1]), c0)
+            t = F.mul_small(F.add(a[0], a[1]), c0)
+            return (s, t)
+        return (
+            F.sub(F.mul_small(a[0], c0), F.mul_small(a[1], c1)),
+            F.add(F.mul_small(a[1], c0), F.mul_small(a[0], c1)),
+        )
+
+    def _zero(self, a):
+        return [jnp.zeros_like(a[0][0]) for _ in range(self.L)]
+
+
+def _read_point(ref, L):
+    """(3, 2L, TS, 128) ref -> 3 Fp2 coords as (rows0, rows1) pairs."""
+    return tuple(
+        ([ref[c, i] for i in range(L)], [ref[c, L + i] for i in range(L)])
+        for c in range(3)
+    )
+
+
+def _write_point(ref, P, L):
+    for c in range(3):
+        for i in range(L):
+            ref[c, i] = P[c][0][i]
+            ref[c, L + i] = P[c][1][i]
+
+
+def _rcb_add(F: Row2Ctx, P, Q):
+    """RCB Algorithm 7 (a=0) over Fp2."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    ln = F.sub(ln, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_b3(t2)
+    lnb = F.mul_b3(ln)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    X3 = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    Y3 = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    Z3 = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    return (X3, Y3, Z3)
+
+
+def _rcb_double(F: Row2Ctx, P):
+    """RCB Algorithm 9 (a=0) over Fp2."""
+    X1, Y1, Z1 = P
+    t0 = F.sqr(Y1)
+    z3t = (F.F.mul_small(t0[0], 8), F.F.mul_small(t0[1], 8))
+    t1 = F.mul(Y1, Z1)
+    t2 = F.mul_b3(F.sqr(Z1))
+    y3t = F.add(t0, t2)
+    t2_3 = F.add(F.add(t2, t2), t2)
+    t0m = F.sub(t0, t2_3)
+    X3 = F.mul(t0m, F.mul(X1, Y1))
+    X3 = F.add(X3, X3)
+    Y3 = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
+    Z3 = F.mul(t1, z3t)
+    return (X3, Y3, Z3)
+
+
+def _add_kernel(F: Row2Ctx, p_ref, q_ref, o_ref):
+    L = F.L
+    _write_point(o_ref, _rcb_add(F, _read_point(p_ref, L), _read_point(q_ref, L)), L)
+
+
+def _double_kernel(F: Row2Ctx, p_ref, o_ref):
+    L = F.L
+    _write_point(o_ref, _rcb_double(F, _read_point(p_ref, L)), L)
+
+
+def _addsel_kernel(F: Row2Ctx, p_ref, q_ref, sel_ref, o_ref):
+    """out = select(sel, P + Q, Q) — segmented-scan combiner."""
+    L = F.L
+    P = _read_point(p_ref, L)
+    Q = _read_point(q_ref, L)
+    A = _rcb_add(F, P, Q)
+    sel = sel_ref[0] != 0
+    out = tuple(
+        (
+            [jnp.where(sel, a[0][i], b[0][i]) for i in range(L)],
+            [jnp.where(sel, a[1][i], b[1][i]) for i in range(L)],
+        )
+        for a, b in zip(A, Q)
+    )
+    _write_point(o_ref, out, L)
+
+
+def _dblsel_kernel(F: Row2Ctx, p_ref, q_ref, sel_ref, o_ref):
+    """out = select(sel, 2P + Q, 2P) — the scalar-mul inner step."""
+    L = F.L
+    D = _rcb_double(F, _read_point(p_ref, L))
+    A = _rcb_add(F, D, _read_point(q_ref, L))
+    sel = sel_ref[0] != 0
+    out = tuple(
+        (
+            [jnp.where(sel, a[0][i], d[0][i]) for i in range(L)],
+            [jnp.where(sel, a[1][i], d[1][i]) for i in range(L)],
+        )
+        for a, d in zip(A, D)
+    )
+    _write_point(o_ref, out, L)
+
+
+def _point_spec(L):
+    return pl.BlockSpec(
+        (3, 2 * L, TILE_SUBLANES, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM
+    )
+
+
+@lru_cache(maxsize=None)
+def _build(p: int, L: int, b3: Tuple[int, int], which: str, interpret: bool):
+    F = Row2Ctx(p, L, b3)
+    spec = _point_spec(L)
+    sel_spec = pl.BlockSpec(
+        (1, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+    )
+
+    if which == "add":
+        kernel = partial(_add_kernel, F)
+        specs = [spec, spec]
+    elif which == "double":
+        kernel = partial(_double_kernel, F)
+        specs = [spec]
+    elif which == "addsel":
+        kernel = partial(_addsel_kernel, F)
+        specs = [spec, spec, sel_spec]
+    elif which == "dblsel":
+        kernel = partial(_dblsel_kernel, F)
+        specs = [spec, spec, sel_spec]
+    else:  # pragma: no cover
+        raise ValueError(which)
+
+    @jax.jit
+    def run(*args):
+        M = args[0].shape[2]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(args[0].shape, jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=specs,
+            out_specs=spec,
+            interpret=interpret,
+        )(*args)
+
+    return run
+
+
+def _to_tiles(P):
+    """(..., 3, 2, L, B) -> ((3, 2L, M, 128), restore_fn)."""
+    shape = P.shape
+    lead = shape[:-4]
+    B = shape[-1]
+    L = shape[-2]
+    # fold the Fp2 pair axis into rows: (..., 3, 2L, B)
+    P2 = jnp.moveaxis(P, (-4, -3, -2), (0, 1, 2)).reshape(3, 2 * L, -1)
+    tot = P2.shape[-1]
+    pad = (-tot) % TILE
+    if pad:
+        P2 = jnp.pad(P2, [(0, 0), (0, 0), (0, pad)])
+    M = P2.shape[-1] // 128
+    P3 = P2.reshape(3, 2 * L, M, 128)
+
+    def restore(out):
+        out = out.reshape(3, 2 * L, M * 128)[..., :tot]
+        out = out.reshape((3, 2, L) + lead + (B,))
+        return jnp.moveaxis(out, (0, 1, 2), (-4, -3, -2))
+
+    return P3, restore
+
+
+def _sel_tiles(sel, P):
+    sel = jnp.broadcast_to(sel, P.shape[:-4] + P.shape[-1:])
+    s2 = sel.reshape(1, -1).astype(jnp.uint32)
+    pad = (-s2.shape[-1]) % TILE
+    if pad:
+        s2 = jnp.pad(s2, [(0, 0), (0, pad)])
+    return s2.reshape(1, -1, 128)
+
+
+def add_pallas(p, L, b3, P, Q, interpret=False):
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    return restore(_build(p, L, b3, "add", interpret)(P3, Q3))
+
+
+def double_pallas(p, L, b3, P, interpret=False):
+    P3, restore = _to_tiles(P)
+    return restore(_build(p, L, b3, "double", interpret)(P3))
+
+
+def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    s3 = _sel_tiles(sel, P)
+    return restore(_build(p, L, b3, "addsel", interpret)(P3, Q3, s3))
+
+
+def dblsel_pallas(p, L, b3, P, Q, sel, interpret=False):
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P3, restore = _to_tiles(P)
+    Q3, _ = _to_tiles(Q)
+    s3 = _sel_tiles(sel, P)
+    return restore(_build(p, L, b3, "dblsel", interpret)(P3, Q3, s3))

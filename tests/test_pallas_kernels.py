@@ -216,3 +216,77 @@ def test_g1_add_pallas_plumbing():
     out = g1p_mod.add_pallas(g1.spec.p, g1.fp.L, g1.F.b3, P, Q, interpret=True)
     got = g1.decode_points(np.asarray(out))
     assert got == [eng.g1.add(a, b) for a, b in zip(hostP, hostQ)]
+
+
+# ---------------------------------------------------------------------------
+# fused G2 kernels (ops/kernels/g2_pallas.py) — numpy-shim body tests vs the
+# exact host G2 group law (BLS12-381: the small-b3, beta=-1 gated curve)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def numpy_g2_kernel_env(monkeypatch):
+    import mathlib_tpu.ops.kernels.g2_pallas as g2p_mod
+
+    monkeypatch.setattr(fp_rows_mod, "jnp", np)
+    monkeypatch.setattr(g2p_mod, "jnp", np)
+    return g2p_mod
+
+
+def _sample_g2_points(eng, rng, n, p):
+    pts = [None, eng.gen_g2]
+    for _ in range(n - 2):
+        pts.append(eng.g2.mul(eng.gen_g2, rng.randrange(1, eng.spec.r)))
+    return pts
+
+
+def test_g2_kernel_bodies(numpy_g2_kernel_env):
+    from mathlib_tpu.ops.g2 import get_g2_ctx
+
+    g2p_mod = numpy_g2_kernel_env
+    spec = get_spec("BLS12_381")
+    g2 = get_g2_ctx(spec)
+    eng = get_engine(spec)
+    p, L = spec.p, g2.fp.L
+    b3 = g2._pallas_b3
+    assert b3 == (12, 12)  # the gate must be open for BLS12-381
+    F = g2p_mod.Row2Ctx(p, L, b3)
+    rng = random.Random(0xBEEF)
+    hostP = _sample_g2_points(eng, rng, 8, p)
+    hostQ = _sample_g2_points(eng, rng, 8, p)
+    neg = lambda Q: (Q[0], tuple((-c) % p for c in Q[1]))  # noqa: E731
+    hostQ[6] = None if hostP[6] is None else neg(hostP[6])  # P + (-P)
+    hostQ[7] = hostP[7]  # P + P through `add`
+
+    def enc(pts):
+        # (3, 2, L, B) -> (3, 2L, 1, B): rows with one sublane
+        a = np.asarray(g2.encode_points(pts))
+        return a.reshape(3, 2 * L, 1, a.shape[-1])
+
+    P4, Q4 = enc(hostP), enc(hostQ)
+    sel = np.asarray([1, 0, 1, 1, 0, 1, 1, 1], dtype=np.uint32)[None, :]
+
+    def run(kernel, *refs):
+        o = _Ref(np.zeros_like(P4))
+        kernel(F, *[_Ref(r.copy()) for r in refs], o)
+        return g2.decode_points(o.arr.reshape(3, 2, L, 1, -1)[:, :, :, 0, :])
+
+    addh = lambda a, b: eng.g2.add(a, b)  # noqa: E731
+    dblh = lambda a: eng.g2.add(a, a)  # noqa: E731
+
+    got = run(g2p_mod._add_kernel, P4, Q4)
+    assert got == [addh(a, b) for a, b in zip(hostP, hostQ)]
+
+    got = run(g2p_mod._double_kernel, P4)
+    assert got == [dblh(a) for a in hostP]
+
+    got = run(g2p_mod._addsel_kernel, P4, Q4, sel)
+    want = [addh(a, b) if s else b for a, b, s in zip(hostP, hostQ, sel[0])]
+    assert got == want
+
+    got = run(g2p_mod._dblsel_kernel, P4, Q4, sel)
+    want = [
+        addh(dblh(a), b) if s else dblh(a)
+        for a, b, s in zip(hostP, hostQ, sel[0])
+    ]
+    assert got == want
