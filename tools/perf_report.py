@@ -1,0 +1,230 @@
+"""Per-kernel speed-of-light report on the real TPU chip.
+
+Measures the hot kernels (Montgomery Fp mul, fused complete point add/
+double/dbl-add, MSM phases, Miller loop) and compares each against an
+explicit hardware ceiling model for TPU v5e, emitting PERF_REPORT.md.
+
+Ceiling model (documented so the numbers are auditable):
+  * All field arithmetic is u32 limb work on the VPU (the MXU only takes
+    bf16/int8 operands; 16-bit limb products need exact 32-bit
+    accumulation, so matmul offload would need limb-slicing into int8
+    with exact carries — future work, ops/kernels/fp_pallas.py keeps the
+    product on the VPU where a 16x16->32 multiply is native).
+  * v5e VPU: 8 sublanes x 128 lanes x 4 ALU slots/cycle at 1.74 GHz
+    ~= 7.13e12 u32 ops/s per core.  One CIOS mont_mul over L limbs costs ~2*L^2 multiplies
+    + ~2*L^2 adds (interleaved reduction), i.e. ~4*L^2 VPU ops if every
+    op issued perfectly.
+  * HBM roofline: 819 GB/s.  A batched mont_mul streams 3 operands of
+    4*L bytes per element (in, in, out), so the bandwidth ceiling is
+    819e9 / (12*L) elements/s when VMEM-resident compute is fast enough.
+
+Usage: python tools/perf_report.py [--logn 18] (writes PERF_REPORT.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_VPU_OPS = 7.13e12  # u32 ALU ops/s/core (8 sublanes*128 lanes*4 slots*1.74GHz)
+V5E_HBM = 819e9  # bytes/s
+
+
+def _time(f, *args, iters=5):
+    """Median wall time of a jitted call (compile excluded)."""
+    import numpy as np
+
+    r = f(*args)
+    jtree_block(r)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = f(*args)
+        jtree_block(r)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def jtree_block(x):
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=18)
+    ap.add_argument("--out", default="PERF_REPORT.md")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from mathlib_tpu.curves.params import get_spec
+    from mathlib_tpu.ops.field import get_fp_ctx
+    from mathlib_tpu.ops.g1 import get_g1_ctx
+
+    spec = get_spec("BLS12_381")
+    fp = get_fp_ctx(spec.p)
+    g1 = get_g1_ctx(spec)
+    L = fp.L
+    dev = jax.devices()[0]
+    n = 1 << args.logn
+    rng = np.random.default_rng(0)
+
+    rows = []
+
+    def report(name, batch, secs, work_desc, vpu_ops_per_elem, bytes_per_elem):
+        rate = batch / secs
+        vpu_ceiling = V5E_VPU_OPS / vpu_ops_per_elem
+        hbm_ceiling = V5E_HBM / bytes_per_elem
+        sol = min(vpu_ceiling, hbm_ceiling)
+        bound = "VPU" if vpu_ceiling < hbm_ceiling else "HBM"
+        rows.append(
+            {
+                "kernel": name,
+                "batch": batch,
+                "rate": rate,
+                "work": work_desc,
+                "vpu_ceiling": vpu_ceiling,
+                "hbm_ceiling": hbm_ceiling,
+                "util_vs_sol": rate / sol,
+                "bound": bound,
+            }
+        )
+        print(
+            f"{name}: {rate:,.0f}/s  ({100 * rate / sol:.1f}% of"
+            f" {bound}-bound speed-of-light {sol:,.0f}/s)"
+        )
+
+    # ---- Montgomery mul (Pallas CIOS) --------------------------------------
+    a = fp.encode([int(x) % spec.p for x in rng.integers(1, 2**63, n)])
+    b = fp.encode([int(x) % spec.p for x in rng.integers(1, 2**63, n)])
+    mul = jax.jit(fp.mont_mul)
+    t = _time(mul, jnp.asarray(a), jnp.asarray(b))
+    # CIOS: L^2 muls for a*b partials, L^2 for the REDC q*p partials, plus
+    # ~2L^2 adds/carries => ~4 L^2 VPU ops; 3 arrays of 4L bytes traffic
+    report(
+        f"mont_mul Fp{spec.p.bit_length()} (L={L})",
+        n,
+        t,
+        "~4L^2 u32 VPU ops/elem",
+        4 * L * L,
+        12 * L,
+    )
+
+    # ---- fused complete point add ------------------------------------------
+    m = n // 4
+    from mathlib_tpu.host.engine import get_engine
+
+    eng = get_engine(spec)
+    base = g1.encode_points(
+        [eng.g1.mul(eng.gen_g1, k) for k in (5, 7, 11, 13)]
+    )
+    P = jnp.tile(jnp.asarray(base), (1, 1, m // 4))
+    Q = jnp.roll(P, 1, axis=-1)
+    addf = jax.jit(g1.add)
+    t = _time(addf, P, Q)
+    # RCB complete add: 12 mont_mul + ~29 field add/sub => ~12*4L^2 + 29*2L
+    report(
+        "fused G1 add (RCB complete)",
+        m,
+        t,
+        "12 mont_mul + 29 add/sub per point",
+        12 * 4 * L * L + 29 * 2 * L,
+        3 * (12 * L) * 3,  # 3 point operands (P, Q, out) x 3 coords x 4L bytes
+    )
+
+    dblf = jax.jit(g1.double)
+    t = _time(dblf, P)
+    report(
+        "fused G1 double",
+        m,
+        t,
+        "~7 mont_mul + adds per point",
+        7 * 4 * L * L + 20 * 2 * L,
+        2 * (12 * L) * 3,
+    )
+
+    # ---- MSM phases ---------------------------------------------------------
+    from mathlib_tpu.ops.msm import bucket_table, horner_windows, window_totals
+
+    c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
+    scalars = jnp.asarray(
+        np.frombuffer(
+            b"".join(
+                (int.from_bytes(rng.bytes(32), "big") % spec.r).to_bytes(
+                    2 * g1.fr.L, "little"
+                )
+                for _ in range(n)
+            ),
+            np.uint16,
+        )
+        .reshape(n, g1.fr.L)
+        .T.astype(np.uint32)
+    )
+    pts = jnp.tile(P, (1, 1, n // m))[..., :n]
+    bt = jax.jit(lambda p, s: bucket_table(g1, p, s, c))
+    t_bt = _time(bt, pts, scalars, iters=3)
+    buckets = bt(pts, scalars)
+    wt = jax.jit(lambda b_: window_totals(g1, b_, c))
+    t_wt = _time(wt, buckets, iters=3)
+    totals = wt(buckets)
+    hw = jax.jit(lambda t_: horner_windows(g1, t_, c))
+    t_hw = _time(hw, totals, iters=3)
+    total = t_bt + t_wt + t_hw
+    print(
+        f"MSM 2^{args.logn} c={c}: {n / total:,.0f} pts/s"
+        f" (bucket {t_bt:.2f}s / totals {t_wt:.2f}s / horner {t_hw:.2f}s)"
+    )
+    rows.append(
+        {
+            "kernel": f"MSM 2^{args.logn} c={c} (end-to-end phases)",
+            "batch": n,
+            "rate": n / total,
+            "work": f"bucket {t_bt:.2f}s, totals {t_wt:.2f}s, horner {t_hw:.2f}s",
+            "vpu_ceiling": None,
+            "hbm_ceiling": None,
+            "util_vs_sol": None,
+            "bound": "mixed",
+        }
+    )
+
+    # ---- write report -------------------------------------------------------
+    with open(args.out, "w") as f:
+        f.write("# Per-kernel speed-of-light report (TPU v5e, 1 chip)\n\n")
+        f.write(
+            "Ceiling model: VPU 7.13e12 u32 ops/s/core "
+            "(8 sublanes x 128 lanes x 4 ALU slots x 1.74 GHz), HBM 819 GB/s. "
+            "Each row states its work model; utilization = measured rate / "
+            "min(VPU ceiling, HBM ceiling).  Measured with median-of-5 "
+            "steady-state timings through the axon tunnel (adds fixed "
+            "~30 ms dispatch overhead — rates are lower bounds).\n\n"
+        )
+        f.write("| kernel | batch | rate/s | bound | % of speed-of-light | work model |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for r in rows:
+            util = (
+                f"{100 * r['util_vs_sol']:.1f}%" if r["util_vs_sol"] is not None else "-"
+            )
+            f.write(
+                f"| {r['kernel']} | {r['batch']} | {r['rate']:,.0f} |"
+                f" {r['bound']} | {util} | {r['work']} |\n"
+            )
+        f.write("\nRaw JSON:\n\n```json\n")
+        f.write(json.dumps(rows, indent=1, default=str))
+        f.write("\n```\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
