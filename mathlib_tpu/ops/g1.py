@@ -182,6 +182,18 @@ class G1Ctx:
             return addsel_pallas(self.spec.p, self.fp.L, self.F.b3, P, Q, sel)
         return self.select(sel, self.add(P, Q), Q)
 
+    def add_select_neg(self, P: Array, Q: Array, sel: Array, neg: Array) -> Array:
+        """select(sel, P + Q', Q') with Q' = (neg ? -Q : Q) — the signed-digit
+        MSM combiner; negation fused into the kernel on TPU."""
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import addselneg_pallas
+
+            return addselneg_pallas(
+                self.spec.p, self.fp.L, self.F.b3, P, Q, sel, neg
+            )
+        Qn = self.select(neg, self.neg(Q), Q)
+        return self.select(sel, self.add(P, Qn), Qn)
+
     def sub(self, P: Array, Q: Array) -> Array:
         return self.add(P, self.neg(Q))
 

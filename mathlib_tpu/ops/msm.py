@@ -233,8 +233,11 @@ def _bucket_table(
             k, o, si = x
         p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
         if signed:
-            p = g1.select(ng, g1.neg(p), p)
-        run = g1.add_select(cp, p, k == ck)
+            # negation fused into the combiner kernel (one masked subtract
+            # in VMEM; an XLA-land negate costs 1.33x end-to-end)
+            run = g1.add_select_neg(cp, p, k == ck, ng)
+        else:
+            run = g1.add_select(cp, p, k == ck)
         bucket_rows = bucket_rows.at[si].set(
             run.reshape(R, W * C).T, mode="drop"
         )
@@ -432,7 +435,7 @@ def msm(
     scalars: Array,
     c: int = 8,
     win_chunk: Optional[int] = None,  # kept for API compat; unused
-    signed: bool = True,
+    signed: bool = False,
     K: int = 64,
 ) -> Array:
     """Pippenger MSM: sum_i [scalars_i] points_i.
@@ -440,10 +443,13 @@ def msm(
     points: (3, L, N) projective; scalars: (S, N) plain 16-bit limbs.
     ``c`` must divide 16.  Returns a single (3, L, 1) point.
 
-    ``signed`` (default) uses balanced digits — half the buckets of the
-    unsigned form for one masked point negation per scan step (gnark's
-    MultiExp applies the same trick in its bucket method).  ``K`` is the
-    streaming-scan chunk count knob (scan steps; lanes per step = W*N/K).
+    ``signed`` uses balanced digits — half the buckets for one masked
+    point negation per scan step (gnark's MultiExp trick).  Measured on
+    v5e at 2^20/c=16 the XLA-land negation costs more than the halved
+    tail saves (688K vs 917K pts/s), so unsigned is the single-chip
+    default; the sharded bucket strategy still uses signed digits, where
+    halving the butterfly all-reduce payload is the point.  ``K`` is the
+    streaming-scan chunk count knob (scan steps; lanes/step = W*N/K).
     """
     del win_chunk
     buckets = bucket_table(g1, points, scalars, c, signed=signed, K=K)

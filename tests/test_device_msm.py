@@ -64,6 +64,20 @@ def test_msm_chunked_segments_c8():
     assert out == eng.g1.msm(pts, ks)
 
 
+def test_msm_signed_digits_matches_host(curve):
+    """Signed (balanced-digit) mode with the same edge inputs."""
+    eng, g1, pts, ks = _setup(curve, 13, seed=2)
+    pts = pts + [pts[0], pts[1], None]
+    ks = ks + [ks[0], 0, 7]
+    out = g1.decode_point(
+        jax.jit(lambda p, s: msm(g1, p, s, c=4, signed=True))(
+            g1.encode_points(pts), g1.encode_scalars(ks)
+        )
+    )
+    expect = eng.g1.msm([p for p in pts if p is not None], ks[:-1])
+    assert out == expect
+
+
 def test_msm_naive_oracle():
     from mathlib_tpu.curves.params import get_spec
 

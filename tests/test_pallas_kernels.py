@@ -197,6 +197,13 @@ def test_g1_kernel_bodies(name, numpy_kernel_env):
     want = [addh(a, b) if s else b for a, b, s in zip(hostP, hostQ, sel[0])]
     assert got == want
 
+    negm = np.asarray([0, 1, 0, 1, 0, 1, 0, 1], dtype=np.uint32)[None, :]
+    got = run(g1p_mod._addselneg_kernel, P4, Q4, sel, negm)
+    negh = lambda b: None if b is None else (b[0], (-b[1]) % p)  # noqa: E731
+    Qn = [negh(b) if t else b for b, t in zip(hostQ, negm[0])]
+    want = [addh(a, b) if s else b for a, b, s in zip(hostP, Qn, sel[0])]
+    assert got == want
+
 
 # ---------------------------------------------------------------------------
 # one fused kernel through the full pallas_call plumbing (slow: interpret-
