@@ -78,6 +78,32 @@ def pedersen_pok(be, batch: int) -> Dict:
     }
 
 
+def hash_to_g1(be, batch: int) -> Dict:
+    """Hash-to-G1 throughput (cf. the hash/* sub-benchmarks in
+    Benchmark_Parallel_IndividualOps*, perf_test.go:429-444).  On SSWU
+    curves the map/isogeny/cofactor pipeline runs on device."""
+    msgs = [b"msg-%d" % i for i in range(batch)]
+
+    if be._device_hash_ctx() is not None:
+        import jax
+
+        run = lambda: jax.block_until_ready(  # noqa: E731
+            be.hash_to_g1_batch(msgs, b"BENCH")
+        )
+    else:
+        from .host.hash_to_curve import get_hasher
+
+        hasher = get_hasher(be.spec)
+        run = lambda: [hasher.hash_to_g1(m, b"BENCH") for m in msgs]  # noqa: E731
+    dt = _time(run)
+    return {
+        "benchmark": "hash_to_g1",
+        "batch": batch,
+        "seconds": dt,
+        "hashes_per_sec": batch / dt,
+    }
+
+
 def bls_sign(be, batch: int) -> Dict:
     """BLS sign throughput (hash-to-G1 + scalar mul), cf.
     Benchmark_Sequential_BLS_Sign perf_test.go:241-247."""
@@ -163,7 +189,7 @@ def main(argv: List[str]) -> None:
     curve = argv[1] if len(argv) > 1 else "BLS12_381"
     batch = int(argv[2]) if len(argv) > 2 else 8
     be = get_batch_engine(get_spec(curve))
-    for fn in (bls_sign, bls_verify, pairing2, pedersen_pok):
+    for fn in (hash_to_g1, bls_sign, bls_verify, pairing2, pedersen_pok):
         print(json.dumps({"curve": curve, **fn(be, batch)}), flush=True)
     print(json.dumps({"curve": curve, **msm_bench(be, 1 << 16)}), flush=True)
 
