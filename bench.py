@@ -18,7 +18,7 @@ cross-checked at n=512 against the naive batched-double-and-add oracle —
 the bench refuses to print a number if the production kernels disagree.
 
 Env knobs: MATHLIB_BENCH_LOGN (default 20), MATHLIB_BENCH_C (window bits,
-default 16).
+default 16), MATHLIB_BENCH_CAPTURE (bucket capture: auto|dense|scatter).
 """
 
 import json
@@ -45,6 +45,7 @@ def main() -> None:
 
     logn = int(os.environ.get("MATHLIB_BENCH_LOGN", "20"))
     c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
+    capture = os.environ.get("MATHLIB_BENCH_CAPTURE", "auto")
     n = 1 << logn
 
     spec = get_spec("BLS12_381")
@@ -68,7 +69,9 @@ def main() -> None:
     )
     scs0 = jnp.asarray(rand_scalars(n0))
     got = g1.decode_point(
-        np.asarray(jax.jit(lambda p, s: msm(g1, p, s, c=8))(pts0, scs0))
+        np.asarray(
+            jax.jit(lambda p, s: msm(g1, p, s, c=8, capture=capture))(pts0, scs0)
+        )
     )
     want = g1.decode_point(np.asarray(jax.jit(msm_naive, static_argnums=0)(g1, pts0, scs0)))
     assert got == want, (
@@ -85,7 +88,7 @@ def main() -> None:
     points = jnp.tile(base, (1, 1, reps))[..., :n]
     scalars = jnp.asarray(rand_scalars(n))
 
-    f = jax.jit(lambda p, s: msm(g1, p, s, c=c))
+    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture))
     r = f(points, scalars)
     np.asarray(r)  # compile + warm (also forces completion)
 

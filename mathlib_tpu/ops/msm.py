@@ -148,6 +148,7 @@ def _bucket_table(
     c: int,
     K: int = 64,
     neg: Optional[Array] = None,
+    capture: str = "auto",
 ) -> Array:
     """Bucket sums for all windows: (3, L, W, B).
 
@@ -168,6 +169,19 @@ def _bucket_table(
     512-byte tile.  The compute side (the fused add_select kernel) stays in
     lane-major (3, L, lanes); the two layouts meet at one dense transpose
     per scan step, which XLA executes at memory bandwidth.
+
+    ``capture`` selects how finished segments reach the bucket table:
+
+    * ``"scatter"`` — scatter the running-sum rows of segment-end lanes
+      into the table on every scan step (random 3*L-word writes, ~94%
+      dropped at production shapes).
+    * ``"dense"`` — the scan just *emits* its running sums as stacked
+      scan output (sequential, bandwidth-speed writes); segment-end
+      positions are precomputed from the sorted keys alone, so the
+      bucket table is ONE contiguous row-gather from the (K, W*C, 3L)
+      capture buffer after the scan.  Costs N*W point rows of HBM
+      (~4.8 GB at 2^20/c=16), wins whenever that fits.
+    * ``"auto"`` — dense when the capture buffer is < 6 GiB.
     """
     W, N = digits.shape
     L = points.shape[-2]
@@ -212,39 +226,89 @@ def _bucket_table(
 
     keys_t = to_steps(keys)
     order_t = to_steps(order)
-    sidx_t = to_steps(scatter_idx)
     negs_t = to_steps(negs) if signed else None
 
     # point-major copy for the streaming gather: one row = one point
-    points_rows = points.reshape(R, N).T  # (N, R)
+    points_rows = jnp.asarray(points).reshape(R, N).T  # (N, R)
     inf_row = jnp.asarray(g1.inf).reshape(R)
 
-    init = (
-        jnp.full((W * C,), _SENTINEL, keys.dtype),
-        jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
-        jnp.broadcast_to(inf_row, (W * B, R)),
-    )
+    if capture == "auto":
+        capture = "dense" if K * W * C * R * 4 < (6 << 30) else "scatter"
 
-    def body(carry, x):
-        ck, cp, bucket_rows = carry
-        if signed:
-            k, o, si, ng = x
-        else:
-            k, o, si = x
-        p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
-        if signed:
-            # negation fused into the combiner kernel (one masked subtract
-            # in VMEM; an XLA-land negate costs 1.33x end-to-end)
-            run = g1.add_select_neg(cp, p, k == ck, ng)
-        else:
-            run = g1.add_select(cp, p, k == ck)
-        bucket_rows = bucket_rows.at[si].set(
-            run.reshape(R, W * C).T, mode="drop"
+    if capture == "dense":
+        # flat index into the stacked (K, W*C) capture buffer of the
+        # running sum AT sorted position (w, i): i = chunk*K + step
+        i_idx = jnp.arange(NP, dtype=jnp.uint32)
+        ys_pos = (i_idx % K)[None, :] * jnp.uint32(W * C) + (
+            win_ids * C + (i_idx // K)[None, :]
         )
-        return (k, run, bucket_rows), None
+        # per-bucket capture position (sentinel = empty bucket),
+        # precomputed entirely outside the scan — keys only
+        pos = (
+            jnp.full((W * B + 1,), _SENTINEL, jnp.uint32)
+            .at[jnp.where(is_last, bucket_of(keys), W * B).reshape(-1)]
+            .set(ys_pos.reshape(-1))[: W * B]
+        )
 
-    xs = (keys_t, order_t, sidx_t, negs_t) if signed else (keys_t, order_t, sidx_t)
-    (_, final_run, bucket_rows), _ = jax.lax.scan(body, init, xs)
+        init = (
+            jnp.full((W * C,), _SENTINEL, keys.dtype),
+            jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
+        )
+
+        def body(carry, x):
+            ck, cp = carry
+            if signed:
+                k, o, ng = x
+                run = g1.add_select_neg(
+                    cp, points_rows[o].T.reshape(3, L, W * C), k == ck, ng
+                )
+            else:
+                k, o = x
+                run = g1.add_select(
+                    cp, points_rows[o].T.reshape(3, L, W * C), k == ck
+                )
+            return (k, run), run.reshape(R, W * C).T
+
+        xs = (keys_t, order_t, negs_t) if signed else (keys_t, order_t)
+        (_, final_run), ys = jax.lax.scan(body, init, xs)
+        ys_flat = ys.reshape(K * W * C, R)
+        rows = ys_flat[jnp.minimum(pos, K * W * C - 1)]  # (W*B, R) row gather
+        bucket_rows = jnp.where(
+            (pos == _SENTINEL)[:, None], inf_row[None, :], rows
+        )
+    else:
+        sidx_t = to_steps(scatter_idx)
+
+        init = (
+            jnp.full((W * C,), _SENTINEL, keys.dtype),
+            jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
+            jnp.broadcast_to(inf_row, (W * B, R)),
+        )
+
+        def body(carry, x):
+            ck, cp, bucket_rows = carry
+            if signed:
+                k, o, si, ng = x
+            else:
+                k, o, si = x
+            p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
+            if signed:
+                # negation fused into the combiner kernel (one masked
+                # subtract in VMEM; an XLA-land negate costs 1.33x)
+                run = g1.add_select_neg(cp, p, k == ck, ng)
+            else:
+                run = g1.add_select(cp, p, k == ck)
+            bucket_rows = bucket_rows.at[si].set(
+                run.reshape(R, W * C).T, mode="drop"
+            )
+            return (k, run, bucket_rows), None
+
+        xs = (
+            (keys_t, order_t, sidx_t, negs_t)
+            if signed
+            else (keys_t, order_t, sidx_t)
+        )
+        (_, final_run, bucket_rows), _ = jax.lax.scan(body, init, xs)
 
     if C > 1:
         # cross-chunk carries from the chunk summaries (1/K the data)
@@ -379,6 +443,7 @@ def bucket_table(
     c: int,
     signed: bool = False,
     K: int = 64,
+    capture: str = "auto",
 ) -> Array:
     """Stage 1 of Pippenger: per-window bucket sums.
 
@@ -391,9 +456,9 @@ def bucket_table(
     nwin = -(-g1.nbits // c)
     if signed:
         absd, neg = _signed_digits(scalars, c, nwin, nbits=g1.nbits)
-        return _bucket_table(g1, points, absd, c, K=K, neg=neg)
+        return _bucket_table(g1, points, absd, c, K=K, neg=neg, capture=capture)
     digits = _digits(scalars, c, nwin)  # (nwin, N)
-    return _bucket_table(g1, points, digits, c, K=K)
+    return _bucket_table(g1, points, digits, c, K=K, capture=capture)
 
 
 def window_totals(
@@ -437,6 +502,7 @@ def msm(
     win_chunk: Optional[int] = None,  # kept for API compat; unused
     signed: bool = False,
     K: int = 64,
+    capture: str = "auto",
 ) -> Array:
     """Pippenger MSM: sum_i [scalars_i] points_i.
 
@@ -452,7 +518,7 @@ def msm(
     streaming-scan chunk count knob (scan steps; lanes/step = W*N/K).
     """
     del win_chunk
-    buckets = bucket_table(g1, points, scalars, c, signed=signed, K=K)
+    buckets = bucket_table(g1, points, scalars, c, signed=signed, K=K, capture=capture)
     totals = window_totals(g1, buckets, c, signed=signed)  # (3, L, nwin)
     return horner_windows(g1, totals, c)
 
