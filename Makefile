@@ -5,7 +5,7 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: checks test test-fast test-all bench dryrun
+.PHONY: checks test test-fast test-all bench dryrun native
 
 checks: test-fast
 
@@ -27,3 +27,7 @@ bench:
 dryrun:
 	XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# native C++ host engine (auto-built on first import too)
+native:
+	g++ -O2 -shared -fPIC -o native/_mlt_native.so native/engine.cpp

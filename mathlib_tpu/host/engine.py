@@ -207,6 +207,33 @@ class HostEngine:
         return self.pairing(self.gen_g1, self.gen_g2)
 
 
+_warned_native = False
+
+
 @lru_cache(maxsize=None)
 def get_engine(spec: CurveSpec) -> HostEngine:
+    """Engine factory: native C++ fast path when available, else pure Python.
+
+    MATHLIB_NATIVE=0 forces the pure-Python engine (the differential
+    oracle).  A failed native build/load warns once and falls back —
+    results are identical either way (tests/test_native_engine.py pins
+    the two engines equal).
+    """
+    import os
+
+    if os.environ.get("MATHLIB_NATIVE", "1") != "0":
+        try:
+            from .native import NativeEngine
+
+            return NativeEngine(spec)
+        except Exception as exc:  # missing toolchain / load failure
+            global _warned_native
+            if not _warned_native:
+                _warned_native = True
+                import warnings
+
+                warnings.warn(
+                    f"native host engine unavailable ({exc!r}); "
+                    "falling back to the pure-Python engine"
+                )
     return HostEngine(spec)

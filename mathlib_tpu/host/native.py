@@ -1,0 +1,340 @@
+"""ctypes binding for the native C++ host engine (native/engine.cpp).
+
+The reference's per-op API speed comes from native L0 engines (gnark/kilic
+assembly field ops, AMCL generated code — SURVEY.md §2.9).  This module is
+that layer for the TPU framework's *host* side: a generic Montgomery-limb
+C++ engine (one shared library, all four curve families) behind the exact
+same HostEngine interface, with the pure-Python engine kept as the
+differential oracle and automatic fallback.
+
+The TPU (JAX/Pallas) path remains the batch/throughput engine; this covers
+the single-element mathlib-compat API surface (math.go wrapper ops):
+G1/G2 group law + scalar mul + host MSM, Miller loop, final exponentiation,
+Gt exponentiation.
+
+Build: `make native` (or auto-built on first import when g++ is available).
+Set MATHLIB_NATIVE=0 to force the pure-Python engine.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+from ..curves.params import CurveSpec, Family
+from .engine import HostEngine
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "engine.cpp")
+_SO = os.path.join(_REPO, "native", "_mlt_native.so")
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None on failure."""
+    global _lib, _lib_tried
+    with _lib_lock:
+        if _lib_tried:
+            return _lib
+        _lib_tried = True
+        try:
+            if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            ):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+                os.replace(_SO + ".tmp", _SO)
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+        lib.mlt_ctx_new.restype = ctypes.c_int32
+        lib.mlt_ctx_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        for name, extra in [
+            ("mlt_g1_add", [ctypes.c_char_p, ctypes.c_char_p]),
+            ("mlt_g2_add", [ctypes.c_char_p, ctypes.c_char_p]),
+            ("mlt_f12_mul", [ctypes.c_char_p, ctypes.c_char_p]),
+            ("mlt_f12_inv", [ctypes.c_char_p]),
+            ("mlt_final_exp", [ctypes.c_char_p]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_int32] + extra + [ctypes.c_char_p]
+        lib.mlt_g1_mul.restype = None
+        lib.mlt_g1_mul.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p,
+        ]
+        lib.mlt_g2_mul.restype = None
+        lib.mlt_g2_mul.argtypes = lib.mlt_g1_mul.argtypes
+        lib.mlt_g1_mul2.restype = None
+        lib.mlt_g1_mul2.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+        ]
+        lib.mlt_g1_msm.restype = None
+        lib.mlt_g1_msm.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_char_p,
+        ]
+        lib.mlt_miller.restype = None
+        lib.mlt_miller.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
+        lib.mlt_f12_pow.restype = None
+        lib.mlt_f12_pow.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_char_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _limbs(spec: CurveSpec) -> int:
+    return (spec.p.bit_length() + 63) // 64
+
+
+class _Codec:
+    """int/tuple <-> wire bytes for one curve (LE limb encoding)."""
+
+    def __init__(self, spec: CurveSpec):
+        self.L = _limbs(spec)
+        self.fb = 8 * self.L
+        self.p = spec.p
+        self.r = spec.r
+        self.klen = (spec.r.bit_length() + 7) // 8
+
+    def fp(self, x: int) -> bytes:
+        return (x % self.p).to_bytes(self.fb, "little")
+
+    def un_fp(self, b: bytes) -> int:
+        return int.from_bytes(b, "little")
+
+    def g1(self, P) -> bytes:
+        if P is None:
+            return b"\x01" + b"\x00" * (2 * self.fb)
+        return b"\x00" + self.fp(P[0]) + self.fp(P[1])
+
+    def un_g1(self, b: bytes):
+        if b[0]:
+            return None
+        return (
+            self.un_fp(b[1 : 1 + self.fb]),
+            self.un_fp(b[1 + self.fb : 1 + 2 * self.fb]),
+        )
+
+    def g2(self, P) -> bytes:
+        if P is None:
+            return b"\x01" + b"\x00" * (4 * self.fb)
+        (x0, x1), (y0, y1) = P
+        return b"\x00" + self.fp(x0) + self.fp(x1) + self.fp(y0) + self.fp(y1)
+
+    def un_g2(self, b: bytes):
+        if b[0]:
+            return None
+        f = self.fb
+        c = [self.un_fp(b[1 + i * f : 1 + (i + 1) * f]) for i in range(4)]
+        return ((c[0], c[1]), (c[2], c[3]))
+
+    def f12(self, a) -> bytes:
+        out = []
+        for f6 in a:
+            for f2 in f6:
+                out.append(self.fp(f2[0]))
+                out.append(self.fp(f2[1]))
+        return b"".join(out)
+
+    def un_f12(self, b: bytes):
+        f = self.fb
+        vals = [self.un_fp(b[i * f : (i + 1) * f]) for i in range(12)]
+        f6s = []
+        for i in range(2):
+            f6s.append(tuple((vals[6 * i + 2 * j], vals[6 * i + 2 * j + 1]) for j in range(3)))
+        return (f6s[0], f6s[1])
+
+    def scalar(self, k: int) -> bytes:
+        return (k % self.r).to_bytes(self.klen, "little")
+
+
+def _build_cfg(spec: CurveSpec, tower) -> bytes:
+    co = _Codec(spec)
+    L = co.L
+
+    def u32(v):
+        return int(v).to_bytes(4, "little")
+
+    def u64(v):
+        return int(v).to_bytes(8, "little")
+
+    parts = [
+        u32(L),
+        u32(0 if spec.family == Family.BLS12 else 1),
+        u32(0 if spec.twist == "M" else 1),
+        u32(1 if spec.x < 0 else 0),
+        u64(abs(spec.x)),
+        spec.p.to_bytes(8 * L, "little"),
+        co.fp(spec.beta),
+        co.fp(spec.xi[0]),
+        co.fp(spec.xi[1]),
+        co.fp(spec.b),
+        co.fp(spec.b2[0]),
+        co.fp(spec.b2[1]),
+        co.fp(tower.frob_v[0]),
+        co.fp(tower.frob_v[1]),
+        co.fp(tower.frob_w[0]),
+        co.fp(tower.frob_w[1]),
+    ]
+    # base-p digits of the hard-part exponent (mirrors fields.py:249-257)
+    e = spec.hard_part_exp
+    digits = []
+    while e:
+        digits.append(e % spec.p)
+        e //= spec.p
+    parts.append(u32(len(digits)))
+    for d in digits:
+        parts.append(d.to_bytes(8 * L, "little"))
+    return b"".join(parts)
+
+
+class _NativeGroup:
+    """WeierstrassCurve-compatible facade backed by the C++ library.
+
+    Anything not natively implemented falls through to the exact Python
+    curve (``pyc``).
+    """
+
+    def __init__(self, lib, handle: int, co: _Codec, pyc, g2: bool):
+        self._lib = lib
+        self._h = handle
+        self._co = co
+        self._py = pyc
+        self._g2 = g2
+        self._psz = 1 + (4 if g2 else 2) * co.fb
+        self._enc = co.g2 if g2 else co.g1
+        self._dec = co.un_g2 if g2 else co.un_g1
+        self._fadd = lib.mlt_g2_add if g2 else lib.mlt_g1_add
+        self._fmul = lib.mlt_g2_mul if g2 else lib.mlt_g1_mul
+
+    def __getattr__(self, name):
+        return getattr(self._py, name)
+
+    def add(self, P, Q):
+        out = ctypes.create_string_buffer(self._psz)
+        self._fadd(self._h, self._enc(P), self._enc(Q), out)
+        return self._dec(out.raw)
+
+    def sub(self, P, Q):
+        return self.add(P, self.neg(Q))
+
+    def neg(self, P):
+        return self._py.neg(P)
+
+    def double(self, P):
+        return self.add(P, P)
+
+    def mul(self, P, k: int):
+        if k < 0:
+            return self.mul(self.neg(P), -k)
+        kb = self._co.scalar(k) if k < self._co.r else k.to_bytes(
+            (k.bit_length() + 7) // 8, "little"
+        )
+        out = ctypes.create_string_buffer(self._psz)
+        self._fmul(self._h, self._enc(P), kb, len(kb), out)
+        return self._dec(out.raw)
+
+    def mul2(self, P, e: int, Q, f: int):
+        if self._g2 or e < 0 or f < 0:
+            return self.add(self.mul(P, e), self.mul(Q, f))
+        eb, fb_ = self._co.scalar(e), self._co.scalar(f)
+        out = ctypes.create_string_buffer(self._psz)
+        self._lib.mlt_g1_mul2(
+            self._h, self._enc(P), eb, len(eb), self._enc(Q), fb_, len(fb_), out
+        )
+        return self._dec(out.raw)
+
+    def msm(self, points, scalars):
+        if self._g2:
+            return self._py.msm(points, scalars)
+        pts = b"".join(self._enc(P) for P in points)
+        ks = b"".join(self._co.scalar(int(s)) for s in scalars)
+        out = ctypes.create_string_buffer(self._psz)
+        self._lib.mlt_g1_msm(
+            self._h, len(points), pts, ks, self._co.klen, out
+        )
+        return self._dec(out.raw)
+
+
+class NativeEngine(HostEngine):
+    """HostEngine with the hot single-element ops routed to C++.
+
+    Bit-exact contract: differential-tested against the pure-Python
+    HostEngine (tests/test_native_engine.py); the Python implementation
+    stays authoritative.
+    """
+
+    def __init__(self, spec: CurveSpec):
+        super().__init__(spec)
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        self._lib = lib
+        self._co = _Codec(spec)
+        cfg = _build_cfg(spec, self.tw)
+        h = lib.mlt_ctx_new(cfg, len(cfg))
+        if h < 0:
+            raise RuntimeError("native ctx rejected")
+        self._h = h
+        self.g1 = _NativeGroup(lib, h, self._co, self.g1, g2=False)
+        self.g2 = _NativeGroup(lib, h, self._co, self.g2, g2=True)
+
+    # -------------------------------------------------------------- pairing —
+    def miller_loop(self, pairs):
+        co = self._co
+        ps = b"".join(co.g1(P) for P, _ in pairs)
+        qs = b"".join(co.g2(Q) for _, Q in pairs)
+        out = ctypes.create_string_buffer(12 * co.fb)
+        self._lib.mlt_miller(self._h, len(pairs), ps, qs, out)
+        return co.un_f12(out.raw)
+
+    def final_exp(self, f):
+        co = self._co
+        out = ctypes.create_string_buffer(12 * co.fb)
+        self._lib.mlt_final_exp(self._h, co.f12(f), out)
+        return co.un_f12(out.raw)
+
+    # ------------------------------------------------------------------- Gt —
+    def gt_exp(self, a, e: int):
+        co = self._co
+        neg = 1 if e < 0 else 0
+        mag = abs(e)
+        eb = mag.to_bytes(max(1, (mag.bit_length() + 7) // 8), "little")
+        out = ctypes.create_string_buffer(12 * co.fb)
+        self._lib.mlt_f12_pow(self._h, co.f12(a), eb, len(eb), neg, out)
+        return co.un_f12(out.raw)
+
+    def gt_mul(self, a, b):
+        co = self._co
+        out = ctypes.create_string_buffer(12 * co.fb)
+        self._lib.mlt_f12_mul(self._h, co.f12(a), co.f12(b), out)
+        return co.un_f12(out.raw)
+
+    def gt_inv(self, a):
+        co = self._co
+        out = ctypes.create_string_buffer(12 * co.fb)
+        self._lib.mlt_f12_inv(self._h, co.f12(a), out)
+        return co.un_f12(out.raw)
+
+
+def native_available() -> bool:
+    return _load_lib() is not None

@@ -1,0 +1,89 @@
+"""Differential tests: native C++ host engine vs the pure-Python oracle.
+
+The native library (native/engine.cpp) mirrors mathlib_tpu/host/{fields,
+curve,engine}.py; these tests pin the two engines equal on every curve
+family — group law, scalar mul, MSM, Miller loop, final exponentiation,
+Gt ops — plus the infinity/zero edge cases.  The reference's analogue is
+Test381Compat (math_test.go:879-911): two independent implementations
+pinned byte-equal.
+"""
+
+import pytest
+
+from mathlib_tpu.curves.params import get_spec
+from mathlib_tpu.host.engine import HostEngine
+
+native = pytest.importorskip("mathlib_tpu.host.native")
+
+if not native.native_available():  # no g++ in env
+    pytest.skip("native engine unavailable", allow_module_level=True)
+
+CURVES = ["BLS12_381", "BN254", "BLS12_377", "FP256BN"]
+
+
+@pytest.fixture(scope="module", params=CURVES)
+def engines(request):
+    spec = get_spec(request.param)
+    return HostEngine(spec), native.NativeEngine(spec), spec
+
+
+def test_group_law_g1(engines, rng):
+    py, nat, spec = engines
+    P = py.gen_g1
+    for _ in range(3):
+        k1, k2 = rng.randrange(1, spec.r), rng.randrange(1, spec.r)
+        A, B = py.g1.mul(P, k1), py.g1.mul(P, k2)
+        assert nat.g1.mul(P, k1) == A
+        assert nat.g1.add(A, B) == py.g1.add(A, B)
+        assert nat.g1.sub(A, B) == py.g1.sub(A, B)
+        assert nat.g1.mul2(A, k2 % 1000, B, k1 % 1000) == py.g1.mul2(
+            A, k2 % 1000, B, k1 % 1000
+        )
+
+
+def test_group_law_g2(engines, rng):
+    py, nat, spec = engines
+    Q = py.gen_g2
+    k1, k2 = rng.randrange(1, spec.r), rng.randrange(1, spec.r)
+    A, B = py.g2.mul(Q, k1 % (1 << 64)), py.g2.mul(Q, k2 % (1 << 64))
+    assert nat.g2.mul(Q, k1 % (1 << 64)) == A
+    assert nat.g2.add(A, B) == py.g2.add(A, B)
+
+
+def test_edge_cases(engines):
+    py, nat, _ = engines
+    P = py.gen_g1
+    assert nat.g1.add(None, P) == P
+    assert nat.g1.add(P, None) == P
+    assert nat.g1.add(None, None) is None
+    assert nat.g1.mul(P, 0) is None
+    assert nat.g1.add(P, nat.g1.neg(P)) is None
+    assert nat.g1.double(P) == py.g1.double(P)
+    # doubling through add(P, P)
+    assert nat.g1.add(P, P) == py.g1.add(P, P)
+
+
+def test_msm(engines, rng):
+    py, nat, spec = engines
+    P = py.gen_g1
+    pts = [py.g1.mul(P, k) for k in range(1, 9)]
+    scs = [rng.randrange(0, spec.r) for _ in pts]
+    assert nat.g1.msm(pts, scs) == py.g1.msm(pts, scs)
+
+
+def test_pairing_and_gt(engines, rng):
+    py, nat, spec = engines
+    P, Q = py.gen_g1, py.gen_g2
+    a, b = rng.randrange(2, 1 << 32), rng.randrange(2, 1 << 32)
+    Pa, Qb = py.g1.mul(P, a), py.g2.mul(Q, b)
+    m_py = py.miller_loop([(Pa, Q), (P, Qb)])
+    assert nat.miller_loop([(Pa, Q), (P, Qb)]) == m_py
+    fe_py = py.final_exp(m_py)
+    assert nat.final_exp(m_py) == fe_py
+    # bilinearity through the native path only
+    lhs = nat.final_exp(nat.miller_loop([(Pa, Q)]))
+    rhs = nat.gt_exp(nat.final_exp(nat.miller_loop([(P, Q)])), a)
+    assert lhs == rhs
+    assert nat.gt_mul(fe_py, fe_py) == py.gt_mul(fe_py, fe_py)
+    assert nat.gt_inv(fe_py) == py.gt_inv(fe_py)
+    assert nat.gt_exp(fe_py, -5) == py.gt_exp(fe_py, -5)
