@@ -78,6 +78,31 @@ def test_msm_signed_digits_matches_host(curve):
     assert out == expect
 
 
+def test_msm_capture_modes_cross_chunk():
+    """Dense vs scatter segment capture must agree with the host oracle,
+    including cross-chunk segment carries (K=4 chunks at n=16 with heavy
+    digit collisions so segments span chunk boundaries)."""
+    from mathlib_tpu.curves.params import get_spec
+
+    curve = get_spec("BLS12_381")
+    eng, g1, _, _ = _setup(curve, 0)
+    rng = random.Random(11)
+    base = [eng.g1.mul(eng.gen_g1, rng.randrange(1, curve.r)) for _ in range(4)]
+    n = 16
+    pts = [base[rng.randrange(4)] for _ in range(n)]
+    ks = [rng.randrange(8) for _ in range(n)]  # tiny digits -> long segments
+    ks[3] = rng.randrange(curve.r)
+    expect = eng.g1.msm(pts, ks)
+    enc_p, enc_s = g1.encode_points(pts), g1.encode_scalars(ks)
+    for cap in ("dense", "scatter"):
+        out = g1.decode_point(
+            jax.jit(lambda p, s, _cap=cap: msm(g1, p, s, c=4, K=4, capture=_cap))(
+                enc_p, enc_s
+            )
+        )
+        assert out == expect, cap
+
+
 def test_msm_naive_oracle():
     from mathlib_tpu.curves.params import get_spec
 

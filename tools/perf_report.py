@@ -34,7 +34,11 @@ V5E_HBM = 819e9  # bytes/s
 
 
 def _time(f, *args, iters=5):
-    """Median wall time of a jitted call (compile excluded)."""
+    """Median wall time of a jitted call (compile excluded).
+
+    Includes one host->device dispatch per call — fine for end-to-end
+    phases (MSM), NOT for single-kernel rates; use _time_kernel there.
+    """
     import numpy as np
 
     r = f(*args)
@@ -46,6 +50,39 @@ def _time(f, *args, iters=5):
         jtree_block(r)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def _time_kernel(op, args, reps=100, iters=5):
+    """Per-invocation device time of a kernel, dispatch amortized.
+
+    Wraps ``reps`` sequential applications of ``op`` in ONE jitted scan
+    (the first operand carries the loop-to-loop data dependency, so XLA
+    cannot elide or overlap the repetitions), times the whole program,
+    subtracts nothing, divides by reps.  Through the axon tunnel a single
+    dispatch costs ~1-5 ms — repeating in-graph is the only way to see
+    the kernel itself.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rest = args[1:]
+
+    def body(carry, _):
+        return op(carry, *rest), None
+
+    loop = jax.jit(
+        lambda x0: jax.lax.scan(body, x0, None, length=reps)[0]
+    )
+    r = loop(args[0])
+    jtree_block(r)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = loop(args[0])
+        jtree_block(r)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / reps
 
 
 def jtree_block(x):
@@ -109,8 +146,7 @@ def main():
     # ---- Montgomery mul (Pallas CIOS) --------------------------------------
     a = fp.encode([int(x) % spec.p for x in rng.integers(1, 2**63, n)])
     b = fp.encode([int(x) % spec.p for x in rng.integers(1, 2**63, n)])
-    mul = jax.jit(fp.mont_mul)
-    t = _time(mul, jnp.asarray(a), jnp.asarray(b))
+    t = _time_kernel(fp.mont_mul, (jnp.asarray(a), jnp.asarray(b)))
     # CIOS: L^2 muls for a*b partials, L^2 for the REDC q*p partials, plus
     # ~2L^2 adds/carries => ~4 L^2 VPU ops; 3 arrays of 4L bytes traffic
     report(
@@ -132,8 +168,7 @@ def main():
     )
     P = jnp.tile(jnp.asarray(base), (1, 1, m // 4))
     Q = jnp.roll(P, 1, axis=-1)
-    addf = jax.jit(g1.add)
-    t = _time(addf, P, Q)
+    t = _time_kernel(g1.add, (P, Q))
     # RCB complete add: 12 mont_mul + ~29 field add/sub => ~12*4L^2 + 29*2L
     report(
         "fused G1 add (RCB complete)",
@@ -144,8 +179,7 @@ def main():
         3 * (12 * L) * 3,  # 3 point operands (P, Q, out) x 3 coords x 4L bytes
     )
 
-    dblf = jax.jit(g1.double)
-    t = _time(dblf, P)
+    t = _time_kernel(g1.double, (P,))
     report(
         "fused G1 double",
         m,
@@ -206,9 +240,11 @@ def main():
             "Ceiling model: VPU 7.13e12 u32 ops/s/core "
             "(8 sublanes x 128 lanes x 4 ALU slots x 1.74 GHz), HBM 819 GB/s. "
             "Each row states its work model; utilization = measured rate / "
-            "min(VPU ceiling, HBM ceiling).  Measured with median-of-5 "
-            "steady-state timings through the axon tunnel (adds fixed "
-            "~30 ms dispatch overhead — rates are lower bounds).\n\n"
+            "min(VPU ceiling, HBM ceiling).  Single-kernel rows are timed "
+            "as 100 in-graph repetitions inside one jit (median of 5 "
+            "runs) so the axon-tunnel dispatch latency is amortized away; "
+            "the MSM row is a per-phase end-to-end wall time including "
+            "one dispatch per phase.\n\n"
         )
         f.write("| kernel | batch | rate/s | bound | % of speed-of-light | work model |\n")
         f.write("|---|---|---|---|---|---|\n")
