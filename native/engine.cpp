@@ -118,7 +118,52 @@ static inline void fp_neg(const Mont &m, const FpE &a, FpE &o) {
 }
 
 // Montgomery CIOS multiply: o = a * b * R^{-1} mod p.
-static void fp_mul(const Mont &m, const FpE &a, const FpE &b, FpE &o) {
+// Templated on the limb count so the compiler fully unrolls the inner
+// loops (the generic runtime-L loop below is ~2.5x slower); dispatched
+// once per call in fp_mul.
+template <int L>
+static void fp_mul_t(const Mont &m, const FpE &a, const FpE &b, FpE &o) {
+  u64 t[L + 2];
+  std::memset(t, 0, sizeof(t));
+  for (int i = 0; i < L; i++) {
+    u64 carry = 0;
+    u64 ai = a.v[i];
+    for (int j = 0; j < L; j++) {
+      u128 cur = (u128)ai * b.v[j] + t[j] + carry;
+      t[j] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+    u128 s = (u128)t[L] + carry;
+    t[L] = (u64)s;
+    t[L + 1] = (u64)(s >> 64);
+    u64 mi = t[0] * m.ninv;
+    u128 cur = (u128)mi * m.p[0] + t[0];
+    carry = (u64)(cur >> 64);
+    for (int j = 1; j < L; j++) {
+      cur = (u128)mi * m.p[j] + t[j] + carry;
+      t[j - 1] = (u64)cur;
+      carry = (u64)(cur >> 64);
+    }
+    s = (u128)t[L] + carry;
+    t[L - 1] = (u64)s;
+    t[L] = t[L + 1] + (u64)(s >> 64);
+    t[L + 1] = 0;
+  }
+  bool ge = t[L] != 0;
+  if (!ge) {
+    ge = true;
+    for (int i = L - 1; i >= 0; i--) {
+      if (t[i] != m.p[i]) {
+        ge = t[i] > m.p[i];
+        break;
+      }
+    }
+  }
+  if (ge) sub_n(t, t, m.p, L);
+  std::memcpy(o.v, t, 8 * L);
+}
+
+static void fp_mul_generic(const Mont &m, const FpE &a, const FpE &b, FpE &o) {
   int L = m.L;
   u64 t[MAXL + 2];
   std::memset(t, 0, sizeof(t));
@@ -148,6 +193,19 @@ static void fp_mul(const Mont &m, const FpE &a, const FpE &b, FpE &o) {
   }
   if (t[L] || cmp_n(t, m.p, m.L) >= 0) sub_n(t, t, m.p, m.L);
   std::memcpy(o.v, t, 8 * L);
+}
+
+static inline void fp_mul(const Mont &m, const FpE &a, const FpE &b, FpE &o) {
+  switch (m.L) {
+    case 4:
+      fp_mul_t<4>(m, a, b, o);
+      return;
+    case 6:
+      fp_mul_t<6>(m, a, b, o);
+      return;
+    default:
+      fp_mul_generic(m, a, b, o);
+  }
 }
 
 // o = a^e for a multi-limb exponent (plain integer limbs, not Montgomery).
@@ -289,7 +347,16 @@ static void f2_mul(const Ctx &c, const Fp2E &a, const Fp2E &b, Fp2E &o) {
   fp_add(c.m, t0, bt, o.c0);
   fp_add(c.m, t2, t3, o.c1);
 }
-static inline void f2_sqr(const Ctx &c, const Fp2E &a, Fp2E &o) { f2_mul(c, a, a, o); }
+static inline void f2_sqr(const Ctx &c, const Fp2E &a, Fp2E &o) {
+  // (a0^2 + beta a1^2, 2 a0 a1) — one fewer fp_mul than f2_mul(a, a)
+  FpE t0, t1, t01, bt;
+  fp_mul(c.m, a.c0, a.c0, t0);
+  fp_mul(c.m, a.c1, a.c1, t1);
+  fp_mul(c.m, a.c0, a.c1, t01);
+  fp_mul(c.m, c.beta, t1, bt);
+  fp_add(c.m, t0, bt, o.c0);
+  fp_add(c.m, t01, t01, o.c1);
+}
 static void f2_inv(const Ctx &c, const Fp2E &a, Fp2E &o) {
   // norm = a0^2 - beta a1^2; o = (a0, -a1) / norm   — fields.py:88-92
   FpE t0, t1, bt, norm, ninv;
@@ -437,7 +504,19 @@ static void f12_mul(const Ctx &c, const Fp12E &a, const Fp12E &b, Fp12E &o) {
   o.c[1] = c1;
 }
 static inline void f12_sqr(const Ctx &c, const Fp12E &a, Fp12E &o) {
-  f12_mul(c, a, a, o);
+  // complex squaring over Fp6: (a0 + a1 w)^2 with w^2 = v:
+  //   t = a0*a1;  c0 = (a0 + a1)(a0 + v*a1) - t - v*t;  c1 = 2t
+  // 2 Fp6 muls instead of f12_mul's 3 — same value, fewer ops.
+  Fp6E t, va1, s0, s1, r, vt;
+  f6_mul(c, a.c[0], a.c[1], t);
+  f6_mul_v(c, a.c[1], va1);
+  f6_add(c, a.c[0], a.c[1], s0);
+  f6_add(c, a.c[0], va1, s1);
+  f6_mul(c, s0, s1, r);
+  f6_sub(c, r, t, r);
+  f6_mul_v(c, t, vt);
+  f6_sub(c, r, vt, o.c[0]);
+  f6_add(c, t, t, o.c[1]);
 }
 static inline void f12_conj(const Ctx &c, const Fp12E &a, Fp12E &o) {
   o.c[0] = a.c[0];
@@ -467,6 +546,75 @@ static bool f12_eq(const Ctx &c, const Fp12E &a, const Fp12E &b) {
     for (int j = 0; j < 3; j++)
       if (!f2_eq(c, a.c[i].c[j], b.c[i].c[j])) return false;
   return true;
+}
+
+// Granger-Scott squaring, valid ONLY on the cyclotomic subgroup (i.e.
+// after the easy part of the final exponentiation): 9 Fp2 squarings
+// instead of f12_sqr's 2 Fp6 muls.  Tower shape Fp12=Fp6[w]/(w^2-v),
+// Fp6=Fp2[v]/(v^3-xi) — matches fields.py.
+static void f12_cyc_sqr(const Ctx &c, const Fp12E &a, Fp12E &o) {
+  const Fp2E g0 = a.c[0].c[0], g1 = a.c[0].c[1], g2 = a.c[0].c[2];
+  const Fp2E h0 = a.c[1].c[0], h1 = a.c[1].c[1], h2 = a.c[1].c[2];
+  Fp2E t0, t1, t2, t3, t4, t5, t6, t7, t8, s;
+  f2_sqr(c, h1, t0);
+  f2_sqr(c, g0, t1);
+  f2_add(c, h1, g0, s);
+  f2_sqr(c, s, t6);
+  f2_sub(c, t6, t0, t6);
+  f2_sub(c, t6, t1, t6); // 2 g0 h1
+  f2_sqr(c, g2, t2);
+  f2_sqr(c, h0, t3);
+  f2_add(c, g2, h0, s);
+  f2_sqr(c, s, t7);
+  f2_sub(c, t7, t2, t7);
+  f2_sub(c, t7, t3, t7); // 2 g2 h0
+  f2_sqr(c, h2, t4);
+  f2_sqr(c, g1, t5);
+  f2_add(c, h2, g1, s);
+  f2_sqr(c, s, t8);
+  f2_sub(c, t8, t4, t8);
+  f2_sub(c, t8, t5, t8);
+  f2_mul_xi(c, t8, t8); // 2 g1 h2 xi
+  f2_mul_xi(c, t0, t0);
+  f2_add(c, t0, t1, t0); // g0^2 + xi h1^2
+  f2_mul_xi(c, t2, t2);
+  f2_add(c, t2, t3, t2); // h0^2 + xi g2^2
+  f2_mul_xi(c, t4, t4);
+  f2_add(c, t4, t5, t4); // g1^2 + xi h2^2
+  Fp2E r;
+  f2_sub(c, t0, g0, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t0, o.c[0].c[0]); // 2(t0 - g0) + t0
+  f2_sub(c, t2, g1, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t2, o.c[0].c[1]);
+  f2_sub(c, t4, g2, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t4, o.c[0].c[2]);
+  f2_add(c, t8, h0, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t8, o.c[1].c[0]); // 2(t8 + h0) + t8
+  f2_add(c, t6, h1, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t6, o.c[1].c[1]);
+  f2_add(c, t7, h2, r);
+  f2_add(c, r, r, r);
+  f2_add(c, r, t7, o.c[1].c[2]);
+}
+
+// f^x (the curve parameter, sign included) for cyclotomic f; inverse on
+// the cyclotomic subgroup is conjugation.
+static void f12_pow_x_cyc(const Ctx &c, const Fp12E &a, Fp12E &o) {
+  u64 e = c.x_abs;
+  int top = 63;
+  while (top >= 0 && !((e >> top) & 1)) top--;
+  Fp12E res = a;
+  for (int i = top - 1; i >= 0; i--) {
+    f12_cyc_sqr(c, res, res);
+    if ((e >> i) & 1) f12_mul(c, res, a, res);
+  }
+  if (c.x_neg) f12_conj(c, res, o);
+  else o = res;
 }
 
 static void f6_frob(const Ctx &c, const Fp6E &a, Fp6E &o) {
@@ -842,15 +990,16 @@ static Aff<Fp12E> embed_g2(const Ctx &c, const Aff<Fp2E> &Q) {
 }
 
 // one Miller double-step: f <- f^2 * l; T <- 2T     (engine.py:156-165)
+// The slope is computed ONCE and reused for the T update (one Fp12
+// inversion per step, where the textbook step + aff_double pair costs
+// two); 3x^2 / 2y scalings are adds, not Fp12 muls.
 static void miller_step_double(const Ctx &c, Fp12E &f, Aff<Fp12E> &T,
                                const Fp12E &xP, const Fp12E &yP) {
-  Fp12E three, two, one, x2, num, den, lam, l, t;
-  f12_one(c, one);
-  f12_add(c, one, one, two);
-  f12_add(c, two, one, three);
-  f12_mul(c, T.x, T.x, x2);
-  f12_mul(c, three, x2, num);
-  f12_mul(c, two, T.y, den);
+  Fp12E x2, num, den, lam, l, t;
+  f12_sqr(c, T.x, x2);
+  f12_add(c, x2, x2, num);
+  f12_add(c, num, x2, num); // 3 x1^2
+  f12_add(c, T.y, T.y, den); // 2 y1
   f12_inv(c, den, den);
   f12_mul(c, num, den, lam);
   // l = (yP - y1) - lam * (xP - x1)
@@ -860,7 +1009,15 @@ static void miller_step_double(const Ctx &c, Fp12E &f, Aff<Fp12E> &T,
   f12_sub(c, l, t, l);
   f12_sqr(c, f, f);
   f12_mul(c, f, l, f);
-  T = aff_double<Fp12E>(c, T);
+  // T = (lam^2 - 2 x1, lam (x1 - x3) - y1)
+  Fp12E x3, y3;
+  f12_sqr(c, lam, x3);
+  f12_sub(c, x3, T.x, x3);
+  f12_sub(c, x3, T.x, x3);
+  f12_sub(c, T.x, x3, t);
+  f12_mul(c, lam, t, y3);
+  f12_sub(c, y3, T.y, T.y); // y3 = lam (x1 - x3) - y1
+  T.x = x3;
 }
 
 // one Miller add-step: f <- f * l; T <- T + Q       (engine.py:167-175)
@@ -876,7 +1033,16 @@ static void miller_step_add(const Ctx &c, Fp12E &f, Aff<Fp12E> &T,
   f12_sub(c, yP, T.y, l);
   f12_sub(c, l, t, l);
   f12_mul(c, f, l, f);
-  T = aff_add<Fp12E>(c, T, Q);
+  // T = (lam^2 - x1 - x2, lam (x1 - x3) - y1)
+  Fp12E x3, y3;
+  f12_sqr(c, lam, x3);
+  f12_sub(c, x3, T.x, x3);
+  f12_sub(c, x3, Q.x, x3);
+  f12_sub(c, T.x, x3, t);
+  f12_mul(c, lam, t, y3);
+  f12_sub(c, y3, T.y, y3);
+  T.x = x3;
+  T.y = y3;
 }
 
 static void miller_single(const Ctx &c, const Aff<FpE> &P, const Aff<Fp2E> &Q,
@@ -947,7 +1113,38 @@ static void final_exp(const Ctx &c, const Fp12E &fin, Fp12E &out) {
   f12_mul(c, t, fi, t);
   f12_frob(c, t, 2, f);
   f12_mul(c, f, t, f);
-  // hard part: multi-exp over frobenius powers with base-p digits
+  if (c.family == 0) {
+    // BLS12 hard part via the Hayashida-Hayasaka-Teruya decomposition
+    // (matches fexp_factor = 3, see params.py):
+    //   3 (p^4 - p^2 + 1)/r = (x-1)^2 (x+p) (x^2 + p^2 - 1) + 3
+    // 5 x-pows with cyclotomic squarings; cyclotomic inverse = conj.
+    Fp12E u, m1, m2, m3, r2;
+    // m1 = (f^(x-1))^(x-1)
+    f12_pow_x_cyc(c, f, u);
+    f12_conj(c, f, t);
+    f12_mul(c, u, t, u); // f^(x-1)
+    f12_pow_x_cyc(c, u, m1);
+    f12_conj(c, u, t);
+    f12_mul(c, m1, t, m1);
+    // m2 = m1^x * frob(m1)
+    f12_pow_x_cyc(c, m1, m2);
+    f12_frob1(c, m1, t);
+    f12_mul(c, m2, t, m2);
+    // m3 = m2^(x^2) * frob^2(m2) * conj(m2)
+    f12_pow_x_cyc(c, m2, m3);
+    f12_pow_x_cyc(c, m3, m3);
+    f12_frob(c, m2, 2, t);
+    f12_mul(c, m3, t, m3);
+    f12_conj(c, m2, t);
+    f12_mul(c, m3, t, m3);
+    // out = m3 * f^3
+    f12_cyc_sqr(c, f, r2);
+    f12_mul(c, r2, f, r2);
+    f12_mul(c, m3, r2, out);
+    return;
+  }
+  // BN / FP256BN hard part: multi-exp over frobenius powers with base-p
+  // digits (shared squarings are cyclotomic).
   int n = c.ndigits;
   std::vector<Fp12E> bases(n);
   bases[0] = f;
@@ -973,7 +1170,7 @@ static void final_exp(const Ctx &c, const Fp12E &fin, Fp12E &out) {
   Fp12E res;
   f12_one(c, res);
   for (int i = nbits - 1; i >= 0; i--) {
-    f12_sqr(c, res, res);
+    f12_cyc_sqr(c, res, res);
     int idx = 0;
     for (int j = 0; j < n; j++)
       if ((c.hard_digits_plain[j].v[i / 64] >> (i % 64)) & 1) idx |= 1 << j;
