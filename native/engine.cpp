@@ -317,6 +317,9 @@ struct Ctx {
   std::vector<FpE> hard_digits_plain; // PLAIN limb values (exponent bits)
   // untwist scale factors (Fp12): M: w^{-2}, w^{-3}; D: w^2, w^3
   Fp12E ux, uy;
+  // sparse-Miller constants: 3*b2, and psi-endomorphism coordinate
+  // multipliers frob_w^{+-2} / frob_w^{+-3} (sign by twist type)
+  Fp2E b2_3, psi_cx, psi_cy;
 };
 
 static inline void f2_add(const Ctx &c, const Fp2E &a, const Fp2E &b, Fp2E &o) {
@@ -964,85 +967,241 @@ static Aff<E> msm_pippenger(const Ctx &c, int64_t n, const Aff<E> *pts,
 // Pairing (mirror host/engine.py)
 // ---------------------------------------------------------------------------
 
-static void emb2(const Ctx &c, const Fp2E &a, Fp12E &o) {
-  std::memset(&o, 0, sizeof(o));
-  o.c[0].c[0] = a;
-}
-static void emb1(const Ctx &c, const FpE &a, Fp12E &o) {
-  std::memset(&o, 0, sizeof(o));
-  o.c[0].c[0].c0 = a;
+// ---- sparse projective Miller loop ----------------------------------------
+//
+// Works on the twist E'(Fp2) directly (no Fp12 embedding, no inversions):
+// T is homogeneous projective (x = X/Z, y = Y/Z); every line is scaled by
+// a per-step Fp2 factor, which the final exponentiation kills (subfield
+// elements f satisfy f^{p^2-1} = 1 and p^2-1 | (p^6-1)(p^2+1)).  The
+// Miller value therefore differs from the textbook host engine's
+// PRE-final-exp value, but final_exp(miller) is identical — the pairing
+// contract (SURVEY.md appendix: output only well-defined after FExp).
+//
+// Line slots in the tower (Fp12 = c0 + c1 w; c_i = s0 + s1 v + s2 v^2):
+//   D-type (x_hat = x w^2):  A at c0.s0, w^1 at c1.s0, w^3 at c1.s1
+//   M-type (x_hat = x/w^2):  A at c0.s0, w^3 at c1.s1, w^5 at c1.s2
+//     (M-type line additionally scaled by xi to clear w^{-6} powers)
+
+struct Proj2 {
+  Fp2E X, Y, Z;
+};
+
+// y^2 z = x^3 + b2 z^3 doubling — RCB 2015/1060 Alg 9 (a=0), mirroring
+// ops/weier.py:87-103.
+static void twist_dbl(const Ctx &c, const Proj2 &P, Proj2 &o) {
+  Fp2E t0, t1, t2, xy, z3t, t2b, y3t, t2_3, t0m, x3a, Z3, y3m, x3m;
+  f2_sqr(c, P.Y, t0);
+  f2_mul(c, P.Y, P.Z, t1);
+  f2_sqr(c, P.Z, t2);
+  f2_mul(c, P.X, P.Y, xy);
+  f2_add(c, t0, t0, z3t);
+  f2_add(c, z3t, z3t, z3t);
+  f2_add(c, z3t, z3t, z3t); // 8 Y^2
+  f2_mul(c, c.b2_3, t2, t2b);
+  f2_add(c, t0, t2b, y3t);
+  f2_add(c, t2b, t2b, t2_3);
+  f2_add(c, t2_3, t2b, t2_3);
+  f2_sub(c, t0, t2_3, t0m);
+  f2_mul(c, t2b, z3t, x3a);
+  f2_mul(c, t1, z3t, Z3);
+  f2_mul(c, t0m, y3t, y3m);
+  f2_mul(c, t0m, xy, x3m);
+  f2_add(c, x3m, x3m, o.X);
+  f2_add(c, x3a, y3m, o.Y);
+  o.Z = Z3;
 }
 
-// untwist an affine G2 point into E(Fp12)
-static Aff<Fp12E> embed_g2(const Ctx &c, const Aff<Fp2E> &Q) {
-  Aff<Fp12E> o;
-  if (Q.inf) {
-    o.inf = true;
-    return o;
+// RCB Alg 7 complete add (a=0), Q affine (Z2 = 1) — ops/weier.py:61-84.
+static void twist_add_aff(const Ctx &c, const Proj2 &P, const Fp2E &X2,
+                          const Fp2E &Y2, Proj2 &o) {
+  Fp2E one2;
+  FOps<Fp2E>::one(c, one2);
+  Fp2E xy1, xy2, yz1, yz2, xz1, xz2;
+  f2_add(c, P.X, P.Y, xy1);
+  f2_add(c, X2, Y2, xy2);
+  f2_add(c, P.Y, P.Z, yz1);
+  f2_add(c, Y2, one2, yz2);
+  f2_add(c, P.X, P.Z, xz1);
+  f2_add(c, X2, one2, xz2);
+  Fp2E t0, t1, t2, a3, a4, a5;
+  f2_mul(c, P.X, X2, t0);
+  f2_mul(c, P.Y, Y2, t1);
+  t2 = P.Z; // Z1 * 1
+  f2_mul(c, xy1, xy2, a3);
+  f2_mul(c, yz1, yz2, a4);
+  f2_mul(c, xz1, xz2, a5);
+  Fp2E u, t3, t4, ln;
+  f2_add(c, t0, t1, u);
+  f2_sub(c, a3, u, t3);
+  f2_add(c, t1, t2, u);
+  f2_sub(c, a4, u, t4);
+  f2_add(c, t0, t2, u);
+  f2_sub(c, a5, u, ln);
+  Fp2E t0_3, t2b, lnb, z3t, t1m;
+  f2_add(c, t0, t0, t0_3);
+  f2_add(c, t0_3, t0, t0_3);
+  f2_mul(c, c.b2_3, t2, t2b);
+  f2_mul(c, c.b2_3, ln, lnb);
+  f2_add(c, t1, t2b, z3t);
+  f2_sub(c, t1, t2b, t1m);
+  Fp2E x3a, x3b, y3a, y3b, z3a, z3b;
+  f2_mul(c, t4, lnb, x3a);
+  f2_mul(c, t3, t1m, x3b);
+  f2_mul(c, lnb, t0_3, y3a);
+  f2_mul(c, t1m, z3t, y3b);
+  f2_mul(c, t0_3, t3, z3a);
+  f2_mul(c, z3t, t4, z3b);
+  f2_sub(c, x3b, x3a, o.X);
+  f2_add(c, y3b, y3a, o.Y);
+  f2_add(c, z3b, z3a, o.Z);
+}
+
+// scale an Fp2 by an Fp scalar (2 fp_muls)
+static inline void f2_scale(const Ctx &c, const Fp2E &a, const FpE &s, Fp2E &o) {
+  fp_mul(c.m, a.c0, s, o.c0);
+  fp_mul(c.m, a.c1, s, o.c1);
+}
+
+// place line coefficients (A, w1or5, w3) into a sparse Fp12
+static void line_to_f12(const Ctx &c, const Fp2E &A, const Fp2E &Bw3,
+                        const Fp2E &Cw, Fp12E &o) {
+  std::memset(&o, 0, sizeof(o));
+  if (c.twist == 0) { // M-type: A (xi-scaled by caller), w^3, w^5
+    f2_mul_xi(c, A, o.c[0].c[0]);
+    o.c[1].c[1] = Bw3;
+    o.c[1].c[2] = Cw;
+  } else { // D-type: A, w^1, w^3
+    o.c[0].c[0] = A;
+    o.c[1].c[0] = Cw;
+    o.c[1].c[1] = Bw3;
   }
-  Fp12E t;
-  emb2(c, Q.x, t);
-  f12_mul(c, t, c.ux, o.x);
-  emb2(c, Q.y, t);
-  f12_mul(c, t, c.uy, o.y);
-  o.inf = false;
-  return o;
 }
 
-// one Miller double-step: f <- f^2 * l; T <- 2T     (engine.py:156-165)
-// The slope is computed ONCE and reused for the T update (one Fp12
-// inversion per step, where the textbook step + aff_double pair costs
-// two); 3x^2 / 2y scalings are adds, not Fp12 muls.
-static void miller_step_double(const Ctx &c, Fp12E &f, Aff<Fp12E> &T,
-                               const Fp12E &xP, const Fp12E &yP) {
-  Fp12E x2, num, den, lam, l, t;
-  f12_sqr(c, T.x, x2);
-  f12_add(c, x2, x2, num);
-  f12_add(c, num, x2, num); // 3 x1^2
-  f12_add(c, T.y, T.y, den); // 2 y1
-  f12_inv(c, den, den);
-  f12_mul(c, num, den, lam);
-  // l = (yP - y1) - lam * (xP - x1)
-  f12_sub(c, xP, T.x, t);
-  f12_mul(c, lam, t, t);
-  f12_sub(c, yP, T.y, l);
-  f12_sub(c, l, t, l);
+// f <- f * line, exploiting the 3-of-12 sparsity of the line element:
+// line = a0 + a1 w with a0 = (A,0,0) and a1 two-slot.  Karatsuba over
+// Fp6 with sparse operands: 3 + 6 + 9 Fp2 muls instead of 18.
+static void f12_mul_line(const Ctx &c, Fp12E &f, const Fp12E &ln) {
+  Fp6E t0, t1, s, u, r, vt1;
+  // t0 = f.c0 * (A,0,0)
+  for (int j = 0; j < 3; j++) f2_mul(c, f.c[0].c[j], ln.c[0].c[0], t0.c[j]);
+  // t1 = f.c1 * a1 (a1 has at most two nonzero slots) — generic Toom on
+  // sparse b is messier than it is worth; use schoolbook with zero-skips:
+  //   (b0, b1, b2) x (f0, f1, f2): c_k = sum_{i+j=k mod 3, with v-wrap}
+  {
+    const Fp6E &a = f.c[1];
+    const Fp6E &b = ln.c[1];
+    Fp2E acc, m;
+    bool bz[3];
+    for (int j = 0; j < 3; j++) bz[j] = f2_is_zero(c, b.c[j]);
+    for (int k = 0; k < 3; k++) {
+      FOps<Fp2E>::zero(c, acc);
+      for (int i = 0; i < 3; i++) {
+        int j = k - i;
+        bool wrap = j < 0;
+        if (wrap) j += 3;
+        if (bz[j]) continue;
+        f2_mul(c, a.c[i], b.c[j], m);
+        if (wrap) f2_mul_xi(c, m, m);
+        f2_add(c, acc, m, acc);
+      }
+      t1.c[k] = acc;
+    }
+  }
+  f6_mul_v(c, t1, vt1);
+  // c1 = (f0 + f1)(a0 + a1) - t0 - t1 : a0+a1 has at most 3 nonzero slots
+  Fp6E fsum, asum;
+  f6_add(c, f.c[0], f.c[1], fsum);
+  f6_add(c, ln.c[0], ln.c[1], asum);
+  {
+    Fp2E acc, m;
+    bool bz[3];
+    for (int j = 0; j < 3; j++) bz[j] = f2_is_zero(c, asum.c[j]);
+    for (int k = 0; k < 3; k++) {
+      FOps<Fp2E>::zero(c, acc);
+      for (int i = 0; i < 3; i++) {
+        int j = k - i;
+        bool wrap = j < 0;
+        if (wrap) j += 3;
+        if (bz[j]) continue;
+        f2_mul(c, fsum.c[i], asum.c[j], m);
+        if (wrap) f2_mul_xi(c, m, m);
+        f2_add(c, acc, m, acc);
+      }
+      r.c[k] = acc;
+    }
+  }
+  f6_sub(c, r, t0, r);
+  f6_sub(c, r, t1, r);
+  f6_add(c, t0, vt1, f.c[0]);
+  f.c[1] = r;
+}
+
+// psi endomorphism on affine twist coordinates:
+// psi(x, y) = (conj(x) * frob_w^{a}, conj(y) * frob_w^{b}),
+// (a, b) = embedding powers (+-2, +-3) — equals the untwist-Frobenius-
+// retwist map the host applies in embedded form (engine.py:146-151).
+static void psi_aff(const Ctx &c, const Fp2E &x, const Fp2E &y, Fp2E &ox,
+                    Fp2E &oy) {
+  Fp2E t;
+  f2_conj(c, x, t);
+  f2_mul(c, t, c.psi_cx, ox);
+  f2_conj(c, y, t);
+  f2_mul(c, t, c.psi_cy, oy);
+}
+
+// line through projective T and (for add steps) affine Q, evaluated at P,
+// Fp2-scaled; appended to f.
+static void miller_dbl_line(const Ctx &c, Fp12E &f, Proj2 &T, const FpE &xP,
+                            const FpE &yP) {
+  // A = 2 Y Z^2 yP ; w-slot = -3 X^2 Z xP ; w3 = 3 X^3 - 2 Y^2 Z
+  Fp2E ZZ, YZZ, A, XX, XXZ, Cw, XXX, YY, YYZ, B, t;
+  f2_sqr(c, T.Z, ZZ);
+  f2_mul(c, T.Y, ZZ, YZZ);
+  f2_add(c, YZZ, YZZ, t);
+  f2_scale(c, t, yP, A);
+  f2_sqr(c, T.X, XX);
+  f2_mul(c, XX, T.Z, XXZ);
+  f2_add(c, XXZ, XXZ, t);
+  f2_add(c, t, XXZ, t); // 3 X^2 Z
+  f2_scale(c, t, xP, Cw);
+  f2_neg(c, Cw, Cw);
+  f2_mul(c, XX, T.X, XXX);
+  f2_add(c, XXX, XXX, B);
+  f2_add(c, B, XXX, B); // 3 X^3
+  f2_sqr(c, T.Y, YY);
+  f2_mul(c, YY, T.Z, YYZ);
+  f2_add(c, YYZ, YYZ, t);
+  f2_sub(c, B, t, B); // 3 X^3 - 2 Y^2 Z
+  Fp12E ln;
+  line_to_f12(c, A, B, Cw, ln);
   f12_sqr(c, f, f);
-  f12_mul(c, f, l, f);
-  // T = (lam^2 - 2 x1, lam (x1 - x3) - y1)
-  Fp12E x3, y3;
-  f12_sqr(c, lam, x3);
-  f12_sub(c, x3, T.x, x3);
-  f12_sub(c, x3, T.x, x3);
-  f12_sub(c, T.x, x3, t);
-  f12_mul(c, lam, t, y3);
-  f12_sub(c, y3, T.y, T.y); // y3 = lam (x1 - x3) - y1
-  T.x = x3;
+  f12_mul_line(c, f, ln);
+  Proj2 T2;
+  twist_dbl(c, T, T2);
+  T = T2;
 }
 
-// one Miller add-step: f <- f * l; T <- T + Q       (engine.py:167-175)
-static void miller_step_add(const Ctx &c, Fp12E &f, Aff<Fp12E> &T,
-                            const Aff<Fp12E> &Q, const Fp12E &xP, const Fp12E &yP) {
-  Fp12E num, den, lam, l, t;
-  f12_sub(c, Q.y, T.y, num);
-  f12_sub(c, Q.x, T.x, den);
-  f12_inv(c, den, den);
-  f12_mul(c, num, den, lam);
-  f12_sub(c, xP, T.x, t);
-  f12_mul(c, lam, t, t);
-  f12_sub(c, yP, T.y, l);
-  f12_sub(c, l, t, l);
-  f12_mul(c, f, l, f);
-  // T = (lam^2 - x1 - x2, lam (x1 - x3) - y1)
-  Fp12E x3, y3;
-  f12_sqr(c, lam, x3);
-  f12_sub(c, x3, T.x, x3);
-  f12_sub(c, x3, Q.x, x3);
-  f12_sub(c, T.x, x3, t);
-  f12_mul(c, lam, t, y3);
-  f12_sub(c, y3, T.y, y3);
-  T.x = x3;
-  T.y = y3;
+static void miller_add_line(const Ctx &c, Fp12E &f, Proj2 &T, const Fp2E &x2,
+                            const Fp2E &y2, const FpE &xP, const FpE &yP) {
+  // E = y2 Z - Y ; F = x2 Z - X
+  // A = F yP ; w-slot = -E xP ; w3 = E x2 - F y2
+  Fp2E E, F, A, Cw, B, t, u;
+  f2_mul(c, y2, T.Z, E);
+  f2_sub(c, E, T.Y, E);
+  f2_mul(c, x2, T.Z, F);
+  f2_sub(c, F, T.X, F);
+  f2_scale(c, F, yP, A);
+  f2_scale(c, E, xP, Cw);
+  f2_neg(c, Cw, Cw);
+  f2_mul(c, E, x2, t);
+  f2_mul(c, F, y2, u);
+  f2_sub(c, t, u, B);
+  Fp12E ln;
+  line_to_f12(c, A, B, Cw, ln);
+  f12_mul_line(c, f, ln);
+  Proj2 T2;
+  twist_add_aff(c, T, x2, y2, T2);
+  T = T2;
 }
 
 static void miller_single(const Ctx &c, const Aff<FpE> &P, const Aff<Fp2E> &Q,
@@ -1051,11 +1210,6 @@ static void miller_single(const Ctx &c, const Aff<FpE> &P, const Aff<Fp2E> &Q,
     f12_one(c, out);
     return;
   }
-  Aff<Fp12E> Qe = embed_g2(c, Q);
-  Fp12E xP, yP;
-  emb1(c, P.x, xP);
-  emb1(c, P.y, yP);
-
   // loop count: BLS12 -> |x|; BN -> |6x + 2| (can exceed 64 bits)
   u128 cnt;
   int m_neg;
@@ -1071,12 +1225,15 @@ static void miller_single(const Ctx &c, const Aff<FpE> &P, const Aff<Fp2E> &Q,
 
   Fp12E f;
   f12_one(c, f);
-  Aff<Fp12E> T = Qe;
+  Proj2 T;
+  T.X = Q.x;
+  T.Y = Q.y;
+  FOps<Fp2E>::one(c, T.Z);
   int top = 127;
   while (top >= 0 && !((cnt >> top) & 1)) top--;
   for (int i = top - 1; i >= 0; i--) {
-    miller_step_double(c, f, T, xP, yP);
-    if ((cnt >> i) & 1) miller_step_add(c, f, T, Qe, xP, yP);
+    miller_dbl_line(c, f, T, P.x, P.y);
+    if ((cnt >> i) & 1) miller_add_line(c, f, T, Q.x, Q.y, P.x, P.y);
   }
 
   if (c.family == 0) {
@@ -1084,24 +1241,17 @@ static void miller_single(const Ctx &c, const Aff<FpE> &P, const Aff<Fp2E> &Q,
     out = f;
     return;
   }
-  // BN: extra Frobenius lines (optimal ate)
+  // BN: extra Frobenius lines (optimal ate): T += psi(Q), T += -psi^2(Q)
   if (m_neg) {
     f12_conj(c, f, f);
-    Fp12E ny;
-    f12_neg(c, T.y, ny);
-    T.y = ny;
+    f2_neg(c, T.Y, T.Y);
   }
-  Aff<Fp12E> Q1, Q2;
-  Q1.inf = Q2.inf = false;
-  f12_frob(c, Qe.x, 1, Q1.x);
-  f12_frob(c, Qe.y, 1, Q1.y);
-  f12_frob(c, Qe.x, 2, Q2.x);
-  f12_frob(c, Qe.y, 2, Q2.y);
-  Fp12E nq2y;
-  f12_neg(c, Q2.y, nq2y);
-  Q2.y = nq2y;
-  miller_step_add(c, f, T, Q1, xP, yP);
-  miller_step_add(c, f, T, Q2, xP, yP);
+  Fp2E q1x, q1y, q2x, q2y;
+  psi_aff(c, Q.x, Q.y, q1x, q1y);
+  psi_aff(c, q1x, q1y, q2x, q2y);
+  f2_neg(c, q2y, q2y);
+  miller_add_line(c, f, T, q1x, q1y, P.x, P.y);
+  miller_add_line(c, f, T, q2x, q2y, P.x, P.y);
   out = f;
 }
 
@@ -1261,6 +1411,19 @@ int32_t mlt_ctx_new(const uint8_t *cfg, int64_t len) {
   } else {
     c->ux = w2;
     c->uy = w3;
+  }
+  // sparse-Miller constants
+  f2_add(*c, c->b2, c->b2, c->b2_3);
+  f2_add(*c, c->b2_3, c->b2, c->b2_3);
+  Fp2E fw2, fw3;
+  f2_sqr(*c, c->frob_w, fw2);
+  f2_mul(*c, fw2, c->frob_w, fw3);
+  if (c->twist == 0) { // M-type embedding powers are w^{-2}, w^{-3}
+    f2_inv(*c, fw2, c->psi_cx);
+    f2_inv(*c, fw3, c->psi_cy);
+  } else {
+    c->psi_cx = fw2;
+    c->psi_cy = fw3;
   }
   std::lock_guard<std::mutex> g(g_mu);
   g_ctxs.push_back(c);

@@ -76,9 +76,15 @@ def test_pairing_and_gt(engines, rng):
     P, Q = py.gen_g1, py.gen_g2
     a, b = rng.randrange(2, 1 << 32), rng.randrange(2, 1 << 32)
     Pa, Qb = py.g1.mul(P, a), py.g2.mul(Q, b)
+    # The native Miller loop is the sparse projective variant: its
+    # PRE-final-exp value differs from the textbook host value by Fp2/Fp6
+    # line-scale factors, which final_exp kills — the pairing output is
+    # only well-defined after FExp (SURVEY.md appendix; same freedom the
+    # reference's backends exercise, kilic pre-reducing vs gurvy not).
     m_py = py.miller_loop([(Pa, Q), (P, Qb)])
-    assert nat.miller_loop([(Pa, Q), (P, Qb)]) == m_py
     fe_py = py.final_exp(m_py)
+    assert nat.final_exp(nat.miller_loop([(Pa, Q), (P, Qb)])) == fe_py
+    # final_exp itself is the identical map: pin it on the host's value
     assert nat.final_exp(m_py) == fe_py
     # bilinearity through the native path only
     lhs = nat.final_exp(nat.miller_loop([(Pa, Q)]))
