@@ -18,7 +18,8 @@ cross-checked at n=512 against the naive batched-double-and-add oracle —
 the bench refuses to print a number if the production kernels disagree.
 
 Env knobs: MATHLIB_BENCH_LOGN (default 20), MATHLIB_BENCH_C (window bits,
-default 16), MATHLIB_BENCH_CAPTURE (bucket capture: auto|dense|scatter).
+default 16), MATHLIB_BENCH_CAPTURE (bucket capture: auto|dense|scatter),
+MATHLIB_BENCH_K (scan step count, default 64).
 """
 
 import json
@@ -46,6 +47,7 @@ def main() -> None:
     logn = int(os.environ.get("MATHLIB_BENCH_LOGN", "20"))
     c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
     capture = os.environ.get("MATHLIB_BENCH_CAPTURE", "auto")
+    K = int(os.environ.get("MATHLIB_BENCH_K", "64"))
     n = 1 << logn
 
     spec = get_spec("BLS12_381")
@@ -88,7 +90,7 @@ def main() -> None:
     points = jnp.tile(base, (1, 1, reps))[..., :n]
     scalars = jnp.asarray(rand_scalars(n))
 
-    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture))
+    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K))
     r = f(points, scalars)
     np.asarray(r)  # compile + warm (also forces completion)
 

@@ -182,6 +182,63 @@ def msm_bench(be, n: int, c: int = 8) -> Dict:
     }
 
 
+def api_individual_ops(curve_name: str, reps: int = 50) -> List[Dict]:
+    """Per-op wrapper-overhead isolation: the mathlib-compat API vs the raw
+    engine underneath it (Benchmark_Parallel_IndividualOps* and the
+    mathlib-vs-raw-backend baselines, perf_test.go:409-561).
+
+    Single-element ops run on the (native C++ when available) host engine;
+    the delta between the two columns is the wrapper cost.
+    """
+    from .api import Curves
+    from .curves.params import get_spec
+    from .host.engine import get_engine
+
+    c = next(x for x in Curves if x.spec.name == curve_name)
+    spec = get_spec(curve_name)
+    eng = get_engine(spec)
+    rng = random.Random(13)
+    k = rng.randrange(2, spec.r)  # full-width scalar
+    zr = c.NewZrFromBytes(k.to_bytes(32, "big"))
+    g1k = c.GenG1.Mul(zr)
+    g2k = c.GenG2.Mul(zr)
+    rows = []
+
+    def row(op, api_fn, raw_fn):
+        t_api = _time(lambda: [api_fn() for _ in range(reps)]) / reps
+        t_raw = _time(lambda: [raw_fn() for _ in range(reps)]) / reps
+        rows.append(
+            {
+                "benchmark": f"api_op/{op}",
+                "api_us": round(t_api * 1e6, 1),
+                "raw_engine_us": round(t_raw * 1e6, 1),
+                "wrapper_overhead_pct": round(100 * (t_api - t_raw) / max(t_raw, 1e-12), 1),
+            }
+        )
+
+    raw_g1k = eng.g1.mul(eng.gen_g1, k)
+    raw_g2k = eng.g2.mul(eng.gen_g2, k)
+    row("g1_mul", lambda: c.GenG1.Mul(zr), lambda: eng.g1.mul(eng.gen_g1, k))
+    row("g2_mul", lambda: c.GenG2.Mul(zr), lambda: eng.g2.mul(eng.gen_g2, k))
+    row(
+        "pairing2_fexp",
+        lambda: c.FExp(c.Pairing2(g2k, c.GenG1, c.GenG2, g1k)),
+        lambda: eng.final_exp(
+            eng.miller_loop([(eng.gen_g1, raw_g2k), (raw_g1k, eng.gen_g2)])
+        ),
+    )
+    if spec.name not in ("FP256BN",):
+        row(
+            "hash_to_g1",
+            lambda: c.HashToG1(b"benchmark message"),
+            lambda: __import__(
+                "mathlib_tpu.host.hash_to_curve", fromlist=["get_hasher"]
+            ).get_hasher(spec).hash_to_g1(b"benchmark message", b"dst"),
+        )
+    del k
+    return rows
+
+
 def main(argv: List[str]) -> None:
     from .batch import get_batch_engine
     from .curves.params import get_spec
@@ -192,6 +249,8 @@ def main(argv: List[str]) -> None:
     for fn in (hash_to_g1, bls_sign, bls_verify, pairing2, pedersen_pok):
         print(json.dumps({"curve": curve, **fn(be, batch)}), flush=True)
     print(json.dumps({"curve": curve, **msm_bench(be, 1 << 16)}), flush=True)
+    for r in api_individual_ops(curve):
+        print(json.dumps({"curve": curve, **r}), flush=True)
 
 
 if __name__ == "__main__":

@@ -49,11 +49,19 @@ class RowCtx:
 
     # ------------------------------------------------------------------ mul
     def mul(self, a: Rows, b: Rows) -> Rows:
-        """Montgomery product, non-interleaved REDC; [0,2p) in/out."""
+        """Montgomery product, interleaved CIOS REDC; [0,2p) in/out.
+
+        Per limb i: accumulate a_i*b, finalize T[i] mod 2^16 with one
+        carry push, derive m_i = T[i] * (-p^-1 mod 2^16) with a SINGLE
+        multiply, accumulate m_i*p.  2L^2 + L multiplies total, vs the
+        separated form's 2.5L^2 (full m = T*n' mod R triangle).  Each
+        accumulator row stays < 4L*2^16 + carries < 2^32.
+        """
         L = self.L
         zero = jnp.zeros_like(a[0])
         a = [x & LIMB_MASK for x in a]  # range hint: 16x16 native multiply
         b = [x & LIMB_MASK for x in b]
+        np0 = np.uint32(self.np_limbs[0])
         T = [zero] * (2 * L + 1)
         for i in range(L):
             ai = a[i]
@@ -61,38 +69,25 @@ class RowCtx:
                 prod = ai * b[j]
                 T[i + j] = T[i + j] + (prod & LIMB_MASK)
                 T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
-        m_acc = [zero] * L
-        for i in range(L):
-            t1 = T[i] & LIMB_MASK
-            t2 = (T[i] >> LIMB_BITS) & LIMB_MASK
-            for j in range(L - i):
-                npj = np.uint32(self.np_limbs[j])
-                p1 = t1 * npj
-                m_acc[i + j] = m_acc[i + j] + (p1 & LIMB_MASK)
-                if i + j + 1 < L:
-                    p2 = t2 * npj
-                    m_acc[i + j + 1] = (
-                        m_acc[i + j + 1] + (p1 >> LIMB_BITS) + (p2 & LIMB_MASK)
-                    )
-                    if i + j + 2 < L:
-                        m_acc[i + j + 2] = m_acc[i + j + 2] + (p2 >> LIMB_BITS)
-        m = []
-        carry = zero
-        for k in range(L):
-            v = m_acc[k] + carry
-            m.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        for i in range(L):
-            mi = m[i]  # already masked
+            # position i is complete (all a_j b_{i-j}, j<=i and m_j p_{i-j},
+            # j<i have landed); push its carry so T[i] mod 2^16 is exact
+            ti = T[i]
+            T[i + 1] = T[i + 1] + (ti >> LIMB_BITS)
+            ti = ti & LIMB_MASK
+            mi = (ti * np0) & LIMB_MASK
             for j in range(L):
                 pj = np.uint32(self.p_limbs[j])
                 prod = mi * pj
-                T[i + j] = T[i + j] + (prod & LIMB_MASK)
-                T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
-        carry = zero
-        for k in range(L):
-            carry = (T[k] + carry) >> LIMB_BITS
+                if j == 0:
+                    # T[i] + mi*p0 == 0 mod 2^16 by construction; only the
+                    # high half survives the shift-out
+                    T[i + 1] = T[i + 1] + ((ti + (prod & LIMB_MASK)) >> LIMB_BITS)
+                    T[i + 1] = T[i + 1] + (prod >> LIMB_BITS)
+                else:
+                    T[i + j] = T[i + j] + (prod & LIMB_MASK)
+                    T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
         out = []
+        carry = zero
         for k in range(L):
             v = T[L + k] + carry
             out.append(v & LIMB_MASK)
