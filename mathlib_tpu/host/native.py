@@ -207,6 +207,66 @@ def _build_cfg(spec: CurveSpec, tower) -> bytes:
     return b"".join(parts)
 
 
+def _glv_constants(spec: CurveSpec):
+    """(lam, beta) with [lam]P == (beta * x, y) on G1, or None.
+
+    lam is a primitive cube root of unity mod r (lam^2 + lam + 1 = 0),
+    beta the matching cube root of unity mod p.  The split k = (k mod lam)
+    + (k div lam) * lam yields two non-negative ~sqrt(r)-bit halves
+    (r = lam^2 + lam + 1 for both BLS12 and BN families), which the joint
+    mul2 combines with shared doublings — the classic GLV speedup.
+    """
+    p, r = spec.p, spec.r
+    if r % 3 != 1 or p % 3 != 1:
+        return None
+
+    def cube_roots(m):
+        # roots of z^2 + z + 1: (-1 +- sqrt(-3)) / 2 mod m
+        s = _sqrt_mod(m - 3, m)
+        if s is None:
+            return []
+        inv2 = pow(2, -1, m)
+        return [((-1 + s) * inv2) % m, ((-1 - s) * inv2) % m]
+
+    lams = cube_roots(r)
+    betas = cube_roots(p)
+    if not lams or not betas:
+        return None
+    return lams, betas
+
+
+def _sqrt_mod(a: int, m: int):
+    """Tonelli-Shanks square root mod prime m (None if non-residue)."""
+    a %= m
+    if a == 0:
+        return 0
+    if pow(a, (m - 1) // 2, m) != 1:
+        return None
+    if m % 4 == 3:
+        return pow(a, (m + 1) // 4, m)
+    q, s = m - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (m - 1) // 2, m) != m - 1:
+        z += 1
+    c = pow(z, q, m)
+    x = pow(a, (q + 1) // 2, m)
+    t = pow(a, q, m)
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % m
+            i += 1
+        b = pow(c, 1 << (s - i - 1), m)
+        x = x * b % m
+        t = t * b * b % m
+        c = b * b % m
+        s = i
+    return x
+
+
 class _NativeGroup:
     """WeierstrassCurve-compatible facade backed by the C++ library.
 
@@ -225,6 +285,7 @@ class _NativeGroup:
         self._dec = co.un_g2 if g2 else co.un_g1
         self._fadd = lib.mlt_g2_add if g2 else lib.mlt_g1_add
         self._fmul = lib.mlt_g2_mul if g2 else lib.mlt_g1_mul
+        self._glv = None  # (lam, beta), set by NativeEngine for G1
 
     def __getattr__(self, name):
         return getattr(self._py, name)
@@ -246,6 +307,11 @@ class _NativeGroup:
     def mul(self, P, k: int):
         if k < 0:
             return self.mul(self.neg(P), -k)
+        if self._glv is not None and P is not None and 0 < k < self._co.r:
+            lam, beta = self._glv
+            k2, k1 = divmod(k, lam)  # k = k1 + k2*lam, both ~sqrt(r) bits
+            phiP = (P[0] * beta % self._co.p, P[1])  # [lam]P
+            return self.mul2(P, k1, phiP, k2, _plain=True)
         kb = self._co.scalar(k) if k < self._co.r else k.to_bytes(
             (k.bit_length() + 7) // 8, "little"
         )
@@ -253,10 +319,17 @@ class _NativeGroup:
         self._fmul(self._h, self._enc(P), kb, len(kb), out)
         return self._dec(out.raw)
 
-    def mul2(self, P, e: int, Q, f: int):
+    def mul2(self, P, e: int, Q, f: int, _plain: bool = False):
         if self._g2 or e < 0 or f < 0:
             return self.add(self.mul(P, e), self.mul(Q, f))
-        eb, fb_ = self._co.scalar(e), self._co.scalar(f)
+        if not _plain and self._glv is not None and P is not None and Q is not None:
+            # GLV both halves: one 4-way joint mul beats two 2-way ones,
+            # but two joint calls keep the C seam simple and still halve
+            # the doublings.
+            return self.add(self.mul(P, e), self.mul(Q, f))
+        blen = (max(e, f, 1).bit_length() + 7) // 8
+        eb = e.to_bytes(blen, "little")
+        fb_ = f.to_bytes(blen, "little")
         out = ctypes.create_string_buffer(self._psz)
         self._lib.mlt_g1_mul2(
             self._h, self._enc(P), eb, len(eb), self._enc(Q), fb_, len(fb_), out
@@ -297,6 +370,20 @@ class NativeEngine(HostEngine):
         self._h = h
         self.g1 = _NativeGroup(lib, h, self._co, self.g1, g2=False)
         self.g2 = _NativeGroup(lib, h, self._co, self.g2, g2=True)
+        # GLV: find the (lam, beta) pairing that matches on the generator
+        roots = _glv_constants(spec)
+        if roots:
+            lams, betas = roots
+            G = spec.g1_gen
+            for lam in lams:
+                want = self.g1.mul(G, lam)  # plain path (_glv still None)
+                beta = next(
+                    (b for b in betas if want == (G[0] * b % spec.p, G[1])),
+                    None,
+                )
+                if beta is not None:
+                    self.g1._glv = (lam, beta)
+                    break
 
     # -------------------------------------------------------------- pairing —
     def miller_loop(self, pairs):

@@ -1540,12 +1540,32 @@ void mlt_g2_mul(int32_t h, const uint8_t *P, const uint8_t *k, int32_t klen,
 }
 void mlt_g1_mul2(int32_t h, const uint8_t *P, const uint8_t *e, int32_t elen,
                  const uint8_t *Q, const uint8_t *f, int32_t flen, uint8_t *out) {
+  // Joint (Strauss-Shamir) [e]P + [f]Q with shared doublings — the
+  // reference's JointScalarMultiplication seam
+  // (driver/gurvy/bls12381/bls12-381.go:869-937); also the combiner for
+  // the GLV-split scalar mul (host/native.py).
   Ctx &c = ctx(h);
   Aff<FpE> a, b;
   rd_g1(c, P, a);
   rd_g1(c, Q, b);
-  Jac<FpE> r = jac_add<FpE>(c, jac_mul<FpE>(c, a, e, elen), jac_mul<FpE>(c, b, f, flen));
-  Aff<FpE> ra = to_aff<FpE>(c, r);
+  Jac<FpE> ja = from_aff<FpE>(c, a), jb = from_aff<FpE>(c, b);
+  Jac<FpE> jab = jac_add<FpE>(c, ja, jb);
+  auto bit = [](const uint8_t *k, int klen, int i) -> int {
+    if (i >= klen * 8) return 0;
+    return (k[i / 8] >> (i % 8)) & 1;
+  };
+  int top = 8 * (elen > flen ? elen : flen) - 1;
+  while (top >= 0 && !bit(e, elen, top) && !bit(f, flen, top)) top--;
+  Jac<FpE> R;
+  jac_inf<FpE>(c, R);
+  for (int i = top; i >= 0; i--) {
+    R = jac_double<FpE>(c, R);
+    int be = bit(e, elen, i), bf = bit(f, flen, i);
+    if (be && bf) R = jac_add<FpE>(c, R, jab);
+    else if (be) R = jac_add<FpE>(c, R, ja);
+    else if (bf) R = jac_add<FpE>(c, R, jb);
+  }
+  Aff<FpE> ra = to_aff<FpE>(c, R);
   wr_g1(c, ra, out);
 }
 void mlt_g1_msm(int32_t h, int64_t n, const uint8_t *Ps, const uint8_t *ks,
