@@ -87,6 +87,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int32, ctypes.c_char_p,
         ]
+        lib.mlt_g2_muln.restype = None
+        lib.mlt_g2_muln.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_char_p,
+        ]
         lib.mlt_miller.restype = None
         lib.mlt_miller.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
@@ -267,6 +272,19 @@ def _sqrt_mod(a: int, m: int):
     return x
 
 
+def _psi_constants(spec: CurveSpec):
+    """(cx, cy): psi(x, y) = (conj(x)*cx, conj(y)*cy) on the twist —
+    untwist-Frobenius-retwist, eigenvalue p = x mod r on BLS12 G2."""
+    from .fields import get_tower
+
+    t = get_tower(spec)
+    fw2 = t.f2_sqr(t.frob_w)
+    fw3 = t.f2_mul(fw2, t.frob_w)
+    if spec.twist == "M":
+        return t.f2_inv(fw2), t.f2_inv(fw3)
+    return fw2, fw3
+
+
 class _NativeGroup:
     """WeierstrassCurve-compatible facade backed by the C++ library.
 
@@ -286,6 +304,7 @@ class _NativeGroup:
         self._fadd = lib.mlt_g2_add if g2 else lib.mlt_g1_add
         self._fmul = lib.mlt_g2_mul if g2 else lib.mlt_g1_mul
         self._glv = None  # (lam, beta), set by NativeEngine for G1
+        self._gls = None  # (x_abs, x_neg, psi), set by NativeEngine for G2
 
     def __getattr__(self, name):
         return getattr(self._py, name)
@@ -307,6 +326,23 @@ class _NativeGroup:
     def mul(self, P, k: int):
         if k < 0:
             return self.mul(self.neg(P), -k)
+        if self._gls is not None and P is not None and 0 < k < self._co.r:
+            # 4-dim GLS: k = sum k_i |x|^i (digits base |x| of k < r <= x^4),
+            # [x^i]Q = psi^i(Q), so [k]Q = sum [k_i] (sgn^i) psi^i(Q)
+            x_abs, x_neg, psi = self._gls
+            digits, kk = [], k
+            pts, cur = [], P
+            for i in range(4):
+                kk, d = divmod(kk, x_abs)
+                digits.append(d)
+                pts.append(self._py.neg(cur) if (x_neg and i % 2) else cur)
+                cur = psi(cur)
+            klen = (x_abs.bit_length() + 7) // 8
+            ks = b"".join(d.to_bytes(klen, "little") for d in digits)
+            ps = b"".join(self._enc(q) for q in pts)
+            out = ctypes.create_string_buffer(self._psz)
+            self._lib.mlt_g2_muln(self._h, 4, ps, ks, klen, out)
+            return self._dec(out.raw)
         if self._glv is not None and P is not None and 0 < k < self._co.r:
             lam, beta = self._glv
             k2, k1 = divmod(k, lam)  # k = k1 + k2*lam, both ~sqrt(r) bits
@@ -384,6 +420,22 @@ class NativeEngine(HostEngine):
                 if beta is not None:
                     self.g1._glv = (lam, beta)
                     break
+        # GLS on G2 (BLS12 only: psi eigenvalue is exactly the parameter x)
+        if spec.family == Family.BLS12:
+            from .fields import get_tower
+
+            t = get_tower(spec)
+            cx, cy = _psi_constants(spec)
+
+            def psi(Q, _t=t, _cx=cx, _cy=cy):
+                return (
+                    _t.f2_mul(_t.f2_conj(Q[0]), _cx),
+                    _t.f2_mul(_t.f2_conj(Q[1]), _cy),
+                )
+
+            G2g = spec.g2_gen
+            if self.g2.mul(G2g, spec.x % spec.r) == psi(G2g):
+                self.g2._gls = (abs(spec.x), spec.x < 0, psi)
 
     # -------------------------------------------------------------- pairing —
     def miller_loop(self, pairs):

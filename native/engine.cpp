@@ -1612,6 +1612,46 @@ void mlt_g1_mul2(int32_t h, const uint8_t *P, const uint8_t *e, int32_t elen,
   Aff<FpE> ra = to_aff<FpE>(c, R);
   wr_g1(c, ra, out);
 }
+void mlt_g2_muln(int32_t h, int32_t m, const uint8_t *Ps, const uint8_t *ks,
+                 int32_t klen, uint8_t *out) {
+  // Joint multi-scalar sum_i [k_i] P_i (m <= 4) with shared doublings and
+  // a (2^m - 1)-entry subset table — the combiner for the 4-dim GLS G2
+  // decomposition (host/native.py), also usable standalone.
+  Ctx &c = ctx(h);
+  int fb = 8 * c.m.L;
+  int psz = 1 + 4 * fb;
+  Aff<Fp2E> pts[4];
+  for (int i = 0; i < m; i++) rd_g2(c, Ps + i * psz, pts[i]);
+  Jac<Fp2E> table[16];
+  jac_inf<Fp2E>(c, table[0]);
+  for (int s = 1; s < (1 << m); s++) {
+    int low = s & -s;
+    int li = __builtin_ctz(s);
+    table[s] = jac_madd<Fp2E>(c, table[s ^ low], pts[li]);
+  }
+  auto bit = [&](int i, int j) -> int { // bit j of scalar i
+    if (j >= klen * 8) return 0;
+    return (ks[i * klen + j / 8] >> (j % 8)) & 1;
+  };
+  int top = klen * 8 - 1;
+  while (top >= 0) {
+    int any = 0;
+    for (int i = 0; i < m; i++) any |= bit(i, top);
+    if (any) break;
+    top--;
+  }
+  Jac<Fp2E> R;
+  jac_inf<Fp2E>(c, R);
+  for (int j = top; j >= 0; j--) {
+    R = jac_double<Fp2E>(c, R);
+    int s = 0;
+    for (int i = 0; i < m; i++) s |= bit(i, j) << i;
+    if (s) R = jac_add<Fp2E>(c, R, table[s]);
+  }
+  Aff<Fp2E> ra = to_aff<Fp2E>(c, R);
+  wr_g2(c, ra, out);
+}
+
 void mlt_g1_msm(int32_t h, int64_t n, const uint8_t *Ps, const uint8_t *ks,
                 int32_t klen, uint8_t *out) {
   Ctx &c = ctx(h);
