@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.g1 import G1Ctx
 from ..ops.msm import bucket_table, horner_windows, msm, window_totals
@@ -81,7 +81,7 @@ def sharded_msm(
         mesh=mesh,
         in_specs=(P(None, None, axis), P(None, axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(pts, scs):
         local = msm(g1, pts, scs, c=c, win_chunk=win_chunk)
@@ -130,7 +130,7 @@ def sharded_msm_buckets(
         mesh=mesh,
         in_specs=(P(None, None, axis), P(None, axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(pts, scs):
         local = bucket_table(g1, pts, scs, c, signed=signed)  # (3, L, W, B)

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.pairing import PairingCtx
 
@@ -59,7 +59,7 @@ def sharded_miller_product(
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, None, axis), P(None, None, axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(xp, yp, qx, qy):
         f = ctx.miller_loop(xp, yp, qx, qy)
