@@ -42,6 +42,10 @@ Array = jax.Array
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
+# dense-capture buffer budget: above this the bucket table is computed in
+# halves (pointwise-added) or falls back to the in-scan scatter
+_DENSE_CAPTURE_LIMIT = 6 << 30
+
 
 def _digits(scalars: Array, c: int, nwin: int) -> Array:
     """(S, N) 16-bit scalar limbs -> (nwin, N) window digits (c | 16)."""
@@ -233,7 +237,7 @@ def _bucket_table(
     inf_row = jnp.asarray(g1.inf).reshape(R)
 
     if capture == "auto":
-        capture = "dense" if K * W * C * R * 4 < (6 << 30) else "scatter"
+        capture = "dense" if K * W * C * R * 4 < _DENSE_CAPTURE_LIMIT else "scatter"
 
     if capture == "dense":
         # flat index into the stacked (K, W*C) capture buffer of the
@@ -454,6 +458,24 @@ def bucket_table(
     """
     assert LIMB_BITS % c == 0
     nwin = -(-g1.nbits // c)
+    N = points.shape[-1]
+    nwin_eff = n_windows(g1, c, signed=signed)
+    if (
+        capture == "auto"
+        and N % 2 == 0
+        and N * nwin_eff * 3 * g1.fp.L * 4 > _DENSE_CAPTURE_LIMIT
+    ):
+        # Bucket tables are pointwise-addable: split the points in half so
+        # each half's dense-capture buffer fits, then add the two tables.
+        # Keeps the scatter-free capture path at any N for O(N/2) memory.
+        h = N // 2
+        t0 = bucket_table(g1, points[..., :h], scalars[..., :h], c, signed, K, capture)
+        t1 = bucket_table(g1, points[..., h:], scalars[..., h:], c, signed, K, capture)
+        W, B = t0.shape[-2], t0.shape[-1]
+        L = t0.shape[1]
+        return g1.add(
+            t0.reshape(3, L, W * B), t1.reshape(3, L, W * B)
+        ).reshape(3, L, W, B)
     if signed:
         absd, neg = _signed_digits(scalars, c, nwin, nbits=g1.nbits)
         return _bucket_table(g1, points, absd, c, K=K, neg=neg, capture=capture)

@@ -103,6 +103,28 @@ def test_msm_capture_modes_cross_chunk():
         assert out == expect, cap
 
 
+def test_msm_dense_split_halves(monkeypatch):
+    """When the dense-capture buffer would exceed the budget, the bucket
+    table is computed in pointwise-added halves; force the path with a
+    tiny budget and pin against the host oracle."""
+    import mathlib_tpu.ops.msm as M
+    from mathlib_tpu.curves.params import get_spec
+
+    curve = get_spec("BLS12_381")
+    eng, g1, pts, ks = _setup(curve, 16, seed=3)
+    # budget between the N=16 and N=8 buffer sizes -> exactly one split
+    nwin = M.n_windows(get_g1_ctx(curve), 4)
+    monkeypatch.setattr(
+        M, "_DENSE_CAPTURE_LIMIT", 12 * nwin * 3 * g1.fp.L * 4
+    )
+    out = g1.decode_point(
+        jax.jit(lambda p, s: msm(g1, p, s, c=4, K=4))(
+            g1.encode_points(pts), g1.encode_scalars(ks)
+        )
+    )
+    assert out == eng.g1.msm(pts, ks)
+
+
 def test_msm_naive_oracle():
     from mathlib_tpu.curves.params import get_spec
 
