@@ -315,8 +315,6 @@ struct Ctx {
   Fp2E frob_w; // xi^((p-1)/6)
   int ndigits; // base-p digits of the hard-part exponent
   std::vector<FpE> hard_digits_plain; // PLAIN limb values (exponent bits)
-  // untwist scale factors (Fp12): M: w^{-2}, w^{-3}; D: w^2, w^3
-  Fp12E ux, uy;
   // sparse-Miller constants: 3*b2, and psi-endomorphism coordinate
   // multipliers frob_w^{+-2} / frob_w^{+-3} (sign by twist type)
   Fp2E b2_3, psi_cx, psi_cy;
@@ -1444,19 +1442,6 @@ int32_t mlt_ctx_new(const uint8_t *cfg, int64_t len) {
     c->hard_digits_plain[j] = d; // PLAIN limbs (exponent), no Montgomery
   }
   (void)len;
-  // untwist scale factors: w = (0, 1) in Fp12 over Fp6
-  Fp12E w, w2, w3;
-  std::memset(&w, 0, sizeof(w));
-  FOps<Fp2E>::one(*c, w.c[1].c[0]);
-  f12_mul(*c, w, w, w2);
-  f12_mul(*c, w2, w, w3);
-  if (c->twist == 0) { // M-type: divide
-    f12_inv(*c, w2, c->ux);
-    f12_inv(*c, w3, c->uy);
-  } else {
-    c->ux = w2;
-    c->uy = w3;
-  }
   // sparse-Miller constants
   f2_add(*c, c->b2, c->b2, c->b2_3);
   f2_add(*c, c->b2_3, c->b2, c->b2_3);
