@@ -97,6 +97,17 @@ class WeierstrassCurve:
             k >>= 1
         return R
 
+    def mul_any(self, P: Point, k: int) -> Point:
+        """Scalar mul valid for ANY curve point, subgroup member or not.
+
+        Identical to ``mul`` here; the native engine overrides ``mul``
+        with GLV/GLS endomorphism splits that are only correct on the
+        r-torsion, and routes ``mul_any`` to its plain ladder — internal
+        callers that handle pre-cofactor-clearing points (hash-to-curve)
+        must use this entry point.
+        """
+        return self.mul(P, k)
+
     def mul2(self, P: Point, e: int, Q: Point, f: int) -> Point:
         """[e]P + [f]Q (Strauss-Shamir on host is unnecessary; exactness only)."""
         return self.add(self.mul(P, e), self.mul(Q, f))

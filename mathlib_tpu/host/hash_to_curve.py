@@ -329,7 +329,7 @@ class Hasher:
     def _clear_cofactor_g1(self, P: Point) -> Point:
         if self.spec.family == Family.BLS12:
             # effective cofactor 1-x (kilic/gnark use this, not h1)
-            return self.e.g1.mul(P, 1 - self.spec.x)
+            return self.e.g1.mul_any(P, 1 - self.spec.x)
         return P  # BN: cofactor 1
 
     # -- twist endomorphism psi = twist o Frobenius o untwist -------------------
@@ -376,7 +376,7 @@ class Hasher:
         return (t.f2_mul(t.f2_conj(P[0]), cx), t.f2_mul(t.f2_conj(P[1]), cy))
 
     def _g2_mul_signed(self, P: Point, k: int) -> Point:
-        Q = self.e.g2.mul(P, abs(k))
+        Q = self.e.g2.mul_any(P, abs(k))
         return self.e.g2.neg(Q) if k < 0 else Q
 
     def _clear_cofactor_g2(self, P: Point) -> Point:
@@ -387,7 +387,7 @@ class Hasher:
             # ciphersuite effective cofactor (RFC 9380 8.8.2 for BLS12-381);
             # equals the Budroni-Pintore endomorphism method below
             # (pinned by tests/test_hash_to_curve_sswu.py).
-            return self.e.g2.mul(P, d["h_eff"])
+            return self.e.g2.mul_any(P, d["h_eff"])
         x = self.spec.x
         add, g2 = self.e.g2.add, self.e.g2
         if self.spec.family == Family.BLS12:
@@ -402,9 +402,9 @@ class Hasher:
         acc = add(xP, self.psi(self._g2_mul_signed(P, 3 * x)))
         acc = add(acc, self.psi(self.psi(xP)))
         out = add(acc, self.psi(self.psi(self.psi(P))))
-        if self.e.g2.mul(out, self.spec.r) is not None:  # pragma: no cover
+        if self.e.g2.mul_any(out, self.spec.r) is not None:  # pragma: no cover
             # formula failed to land in the r-torsion: fall back to [h2]P
-            return self.e.g2.mul(P, self.spec.h2)
+            return self.e.g2.mul_any(P, self.spec.h2)
         return out
 
     # -- AMCL legacy Bls_hash (driver/amcl/fp256bn.go:169-178) ------------------

@@ -323,6 +323,20 @@ class _NativeGroup:
     def double(self, P):
         return self.add(P, P)
 
+    def mul_any(self, P, k: int):
+        """Endomorphism-free scalar mul — correct for any twist/curve
+        point, not just the r-torsion (see WeierstrassCurve.mul_any)."""
+        if k < 0:
+            return self.mul_any(self.neg(P), -k)
+        if P is None or k == 0:
+            return None
+        kb = self._co.scalar(k) if k < self._co.r else k.to_bytes(
+            (k.bit_length() + 7) // 8, "little"
+        )
+        out = ctypes.create_string_buffer(self._psz)
+        self._fmul(self._h, self._enc(P), kb, len(kb), out)
+        return self._dec(out.raw)
+
     def mul(self, P, k: int):
         if k < 0:
             return self.mul(self.neg(P), -k)
@@ -348,12 +362,7 @@ class _NativeGroup:
             k2, k1 = divmod(k, lam)  # k = k1 + k2*lam, both ~sqrt(r) bits
             phiP = (P[0] * beta % self._co.p, P[1])  # [lam]P
             return self.mul2(P, k1, phiP, k2, _plain=True)
-        kb = self._co.scalar(k) if k < self._co.r else k.to_bytes(
-            (k.bit_length() + 7) // 8, "little"
-        )
-        out = ctypes.create_string_buffer(self._psz)
-        self._fmul(self._h, self._enc(P), kb, len(kb), out)
-        return self._dec(out.raw)
+        return self.mul_any(P, k)
 
     def mul2(self, P, e: int, Q, f: int, _plain: bool = False):
         if self._g2 or e < 0 or f < 0:

@@ -71,6 +71,25 @@ def test_msm(engines, rng):
     assert nat.g1.msm(pts, scs) == py.g1.msm(pts, scs)
 
 
+def test_mul_any_off_subgroup(engines, rng):
+    """GLV/GLS endomorphism splits are only valid on the r-torsion; the
+    mul_any entry point must stay exact for arbitrary twist points (the
+    hash-to-curve pre-cofactor case that caught a real regression)."""
+    py, nat, spec = engines
+    if spec.h2 == 1:
+        pytest.skip("G2 cofactor 1: every point is in the subgroup")
+    t = py.tw
+    # find an arbitrary twist point (almost surely NOT in the r-torsion)
+    for xc in range(3, 100):
+        x = (xc, 1)
+        y = t.f2_sqrt(t.f2_add(t.f2_mul(t.f2_mul(x, x), x), spec.b2))
+        if y is not None:
+            break
+    Q = (x, y)
+    k = rng.randrange(1 << 100, 1 << 127)  # GLS-trigger-sized scalar
+    assert nat.g2.mul_any(Q, k) == py.g2.mul(Q, k)
+
+
 def test_pairing_and_gt(engines, rng):
     py, nat, spec = engines
     P, Q = py.gen_g1, py.gen_g2
