@@ -14,12 +14,12 @@ checks: test-fast
 test: test-fast
 
 test-fast:
-	$(PYTEST) tests/ -q
+	$(PYTEST) tests/ -q -n 4
 
 # everything, including slow-marked interpret-mode Pallas compiles and
 # full-width final-exp/MSM scans
 test-all:
-	$(PYTEST) tests/ -q -m ""
+	$(PYTEST) tests/ -q -m "" -n 4
 
 bench:
 	python bench.py

@@ -417,6 +417,12 @@ class Curve:
         return self._recover(lambda: Gt(self.codec.gt_from_bytes(b), self.curve_id))
 
     # -- pairing ----------------------------------------------------------------
+    # For non-kilic IDs Pairing returns the UNREDUCED Miller value; as in
+    # the reference (kilic pre-reduces, gurvy/amcl do not — SURVEY.md
+    # appendix), an unreduced Gt is an engine-specific representative and
+    # only FExp(...) yields the canonical value.  The native engine's
+    # sparse-line Miller loop differs from the Python oracle's textbook
+    # value pre-FExp by subfield factors the final exponentiation kills.
     def Pairing(self, a: G2, b: G1) -> Gt:
         reduce = self.curve_id in _KILIC_IDS
         f = self.engine.miller_loop([(b.point, a.point)])

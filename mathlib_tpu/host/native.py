@@ -213,14 +213,9 @@ def _build_cfg(spec: CurveSpec, tower) -> bytes:
 
 
 def _glv_constants(spec: CurveSpec):
-    """(lam, beta) with [lam]P == (beta * x, y) on G1, or None.
-
-    lam is a primitive cube root of unity mod r (lam^2 + lam + 1 = 0),
-    beta the matching cube root of unity mod p.  The split k = (k mod lam)
-    + (k div lam) * lam yields two non-negative ~sqrt(r)-bit halves
-    (r = lam^2 + lam + 1 for both BLS12 and BN families), which the joint
-    mul2 combines with shared doublings — the classic GLV speedup.
-    """
+    """Candidate (lam, beta) cube roots of unity for the GLV endomorphism
+    [lam]P == (beta * x, y) on G1 (matching pair selected empirically on
+    the generator by NativeEngine), or None."""
     p, r = spec.p, spec.r
     if r % 3 != 1 or p % 3 != 1:
         return None
@@ -238,6 +233,44 @@ def _glv_constants(spec: CurveSpec):
     if not lams or not betas:
         return None
     return lams, betas
+
+
+def _glv_lattice(r: int, lam: int):
+    """Short lattice basis for the GLV split (GLV 2001, extended Euclid).
+
+    Returns (v1, v2, det) with v = (a, b) satisfying a + b*lam = 0 mod r
+    and |a|, |b| ~ sqrt(r); det = v1[0]*v2[1] - v1[1]*v2[0] (= +-r).
+    The naive divmod split only balances when r = lam^2 + lam + 1 as
+    INTEGERS (BLS12); BN-family roots are ~0.75 r bits, so the lattice
+    reduction is what actually delivers ~sqrt(r) halves there.
+    """
+    import math
+
+    sq = math.isqrt(r)
+    # EEA rows: r_i = s_i*r + t_i*lam
+    r0, t0 = r, 0
+    r1, t1 = lam, 1
+    rows = [(r0, t0), (r1, t1)]
+    while rows[-1][0] != 0:
+        q = rows[-2][0] // rows[-1][0]
+        rows.append((rows[-2][0] - q * rows[-1][0], rows[-2][1] - q * rows[-1][1]))
+    l = next(i for i in range(len(rows)) if rows[i][0] < sq)
+    # v = (r_i, -t_i) is in {(x, y) : x + y*lam = 0 mod r}
+    cands = [(rows[i][0], -rows[i][1]) for i in (l - 1, l, min(l + 1, len(rows) - 1))]
+    cands.sort(key=lambda v: max(abs(v[0]), abs(v[1])))
+    v1, v2 = cands[0], cands[1]
+    det = v1[0] * v2[1] - v1[1] * v2[0]
+    if det == 0:
+        v2 = cands[2]
+        det = v1[0] * v2[1] - v1[1] * v2[0]
+    return v1, v2, det
+
+
+def _rnd_div(a: int, b: int) -> int:
+    """round(a / b) to nearest (b may be negative)."""
+    if b < 0:
+        a, b = -a, -b
+    return (2 * a + b) // (2 * b)
 
 
 def _sqrt_mod(a: int, m: int):
@@ -358,10 +391,17 @@ class _NativeGroup:
             self._lib.mlt_g2_muln(self._h, 4, ps, ks, klen, out)
             return self._dec(out.raw)
         if self._glv is not None and P is not None and 0 < k < self._co.r:
-            lam, beta = self._glv
-            k2, k1 = divmod(k, lam)  # k = k1 + k2*lam, both ~sqrt(r) bits
+            # Babai round-off against the short lattice basis:
+            # (k1, k2) = (k, 0) - b1 v1 - b2 v2, |k_i| ~ sqrt(r), signed
+            lam, beta, v1, v2, det = self._glv
+            b1 = _rnd_div(k * v2[1], det)
+            b2 = _rnd_div(-k * v1[1], det)
+            k1 = k - b1 * v1[0] - b2 * v2[0]
+            k2 = -b1 * v1[1] - b2 * v2[1]
             phiP = (P[0] * beta % self._co.p, P[1])  # [lam]P
-            return self.mul2(P, k1, phiP, k2, _plain=True)
+            P1 = self._py.neg(P) if k1 < 0 else P
+            P2 = self._py.neg(phiP) if k2 < 0 else phiP
+            return self.mul2(P1, abs(k1), P2, abs(k2), _plain=True)
         return self.mul_any(P, k)
 
     def mul2(self, P, e: int, Q, f: int, _plain: bool = False):
@@ -415,7 +455,8 @@ class NativeEngine(HostEngine):
         self._h = h
         self.g1 = _NativeGroup(lib, h, self._co, self.g1, g2=False)
         self.g2 = _NativeGroup(lib, h, self._co, self.g2, g2=True)
-        # GLV: find the (lam, beta) pairing that matches on the generator
+        # GLV: find the (lam, beta) pairing that matches on the generator,
+        # then build the short lattice basis and self-check the split
         roots = _glv_constants(spec)
         if roots:
             lams, betas = roots
@@ -427,7 +468,16 @@ class NativeEngine(HostEngine):
                     None,
                 )
                 if beta is not None:
-                    self.g1._glv = (lam, beta)
+                    v1, v2, det = _glv_lattice(spec.r, lam)
+                    # sanity: decomposition is exact and short for a probe k
+                    k = (spec.r * 2) // 3 + 12345
+                    b1 = _rnd_div(k * v2[1], det)
+                    b2 = _rnd_div(-k * v1[1], det)
+                    k1 = k - b1 * v1[0] - b2 * v2[0]
+                    k2 = -b1 * v1[1] - b2 * v2[1]
+                    half = 1 << (spec.r.bit_length() // 2 + 3)
+                    if (k1 + k2 * lam - k) % spec.r == 0 and abs(k1) < half and abs(k2) < half:
+                        self.g1._glv = (lam, beta, v1, v2, det)
                     break
         # GLS on G2 (BLS12 only: psi eigenvalue is exactly the parameter x)
         if spec.family == Family.BLS12:

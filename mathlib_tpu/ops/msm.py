@@ -237,6 +237,8 @@ def _bucket_table(
     inf_row = jnp.asarray(g1.inf).reshape(R)
 
     if capture == "auto":
+        # same padded quantity as bucket_table's split guard, so an even-N
+        # call that skipped the split always lands on dense here
         capture = "dense" if K * W * C * R * 4 < _DENSE_CAPTURE_LIMIT else "scatter"
 
     if capture == "dense":
@@ -460,10 +462,11 @@ def bucket_table(
     nwin = -(-g1.nbits // c)
     N = points.shape[-1]
     nwin_eff = n_windows(g1, c, signed=signed)
+    NP = N + ((-N) % K)  # _bucket_table pads to a K multiple
     if (
         capture == "auto"
         and N % 2 == 0
-        and N * nwin_eff * 3 * g1.fp.L * 4 > _DENSE_CAPTURE_LIMIT
+        and NP * nwin_eff * 3 * g1.fp.L * 4 >= _DENSE_CAPTURE_LIMIT
     ):
         # Bucket tables are pointwise-addable: split the points in half so
         # each half's dense-capture buffer fits, then add the two tables.

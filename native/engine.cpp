@@ -1120,59 +1120,43 @@ static void line_to_f12(const Ctx &c, const Fp2E &A, const Fp2E &Bw3,
   }
 }
 
+// Fp6 schoolbook multiply skipping zero slots of b (for sparse lines):
+//   c_k = sum_{i+j = k (mod 3)} a_i b_j, with a v-wrap multiplying by xi
+static void f6_mul_sparse(const Ctx &c, const Fp6E &a, const Fp6E &b, Fp6E &o) {
+  Fp2E acc, m;
+  bool bz[3];
+  for (int j = 0; j < 3; j++) bz[j] = f2_is_zero(c, b.c[j]);
+  Fp6E out;
+  for (int k = 0; k < 3; k++) {
+    FOps<Fp2E>::zero(c, acc);
+    for (int i = 0; i < 3; i++) {
+      int j = k - i;
+      bool wrap = j < 0;
+      if (wrap) j += 3;
+      if (bz[j]) continue;
+      f2_mul(c, a.c[i], b.c[j], m);
+      if (wrap) f2_mul_xi(c, m, m);
+      f2_add(c, acc, m, acc);
+    }
+    out.c[k] = acc;
+  }
+  o = out;
+}
+
 // f <- f * line, exploiting the 3-of-12 sparsity of the line element:
 // line = a0 + a1 w with a0 = (A,0,0) and a1 two-slot.  Karatsuba over
 // Fp6 with sparse operands: 3 + 6 + 9 Fp2 muls instead of 18.
 static void f12_mul_line(const Ctx &c, Fp12E &f, const Fp12E &ln) {
-  Fp6E t0, t1, s, u, r, vt1;
+  Fp6E t0, t1, r, vt1;
   // t0 = f.c0 * (A,0,0)
   for (int j = 0; j < 3; j++) f2_mul(c, f.c[0].c[j], ln.c[0].c[0], t0.c[j]);
-  // t1 = f.c1 * a1 (a1 has at most two nonzero slots) — generic Toom on
-  // sparse b is messier than it is worth; use schoolbook with zero-skips:
-  //   (b0, b1, b2) x (f0, f1, f2): c_k = sum_{i+j=k mod 3, with v-wrap}
-  {
-    const Fp6E &a = f.c[1];
-    const Fp6E &b = ln.c[1];
-    Fp2E acc, m;
-    bool bz[3];
-    for (int j = 0; j < 3; j++) bz[j] = f2_is_zero(c, b.c[j]);
-    for (int k = 0; k < 3; k++) {
-      FOps<Fp2E>::zero(c, acc);
-      for (int i = 0; i < 3; i++) {
-        int j = k - i;
-        bool wrap = j < 0;
-        if (wrap) j += 3;
-        if (bz[j]) continue;
-        f2_mul(c, a.c[i], b.c[j], m);
-        if (wrap) f2_mul_xi(c, m, m);
-        f2_add(c, acc, m, acc);
-      }
-      t1.c[k] = acc;
-    }
-  }
+  f6_mul_sparse(c, f.c[1], ln.c[1], t1); // a1: at most two nonzero slots
   f6_mul_v(c, t1, vt1);
   // c1 = (f0 + f1)(a0 + a1) - t0 - t1 : a0+a1 has at most 3 nonzero slots
   Fp6E fsum, asum;
   f6_add(c, f.c[0], f.c[1], fsum);
   f6_add(c, ln.c[0], ln.c[1], asum);
-  {
-    Fp2E acc, m;
-    bool bz[3];
-    for (int j = 0; j < 3; j++) bz[j] = f2_is_zero(c, asum.c[j]);
-    for (int k = 0; k < 3; k++) {
-      FOps<Fp2E>::zero(c, acc);
-      for (int i = 0; i < 3; i++) {
-        int j = k - i;
-        bool wrap = j < 0;
-        if (wrap) j += 3;
-        if (bz[j]) continue;
-        f2_mul(c, fsum.c[i], asum.c[j], m);
-        if (wrap) f2_mul_xi(c, m, m);
-        f2_add(c, acc, m, acc);
-      }
-      r.c[k] = acc;
-    }
-  }
+  f6_mul_sparse(c, fsum, asum, r);
   f6_sub(c, r, t0, r);
   f6_sub(c, r, t1, r);
   f6_add(c, t0, vt1, f.c[0]);
