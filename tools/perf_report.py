@@ -233,6 +233,66 @@ def main():
         }
     )
 
+    # ---- device hash-to-G1 (SSWU map + isogeny + cofactor on device) -------
+    from mathlib_tpu.batch import get_batch_engine
+
+    be = get_batch_engine(spec)
+    if be._device_hash_ctx() is not None:
+        msgs = [b"perf-%d" % i for i in range(4096)]
+        h = be.hash_to_g1_batch(msgs, b"PERF")
+        jtree_block(h)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jtree_block(be.hash_to_g1_batch(msgs, b"PERF"))
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        rows.append(
+            {
+                "kernel": "hash_to_g1 (device SSWU+iso+cofactor, host XMD)",
+                "batch": len(msgs),
+                "rate": len(msgs) / t,
+                "work": "2 sswu maps + 11-isogeny + cofactor mul / point",
+                "vpu_ceiling": None,
+                "hbm_ceiling": None,
+                "util_vs_sol": None,
+                "bound": "mixed",
+            }
+        )
+        print(f"hash_to_g1 device: {len(msgs) / t:,.0f}/s")
+
+    # ---- batched pairing product (Miller lanes + one final exp) ------------
+    npairs = 64
+    eng2 = eng
+    P1 = eng2.g1.mul(eng2.gen_g1, 5)
+    Q1 = eng2.g2.mul(eng2.gen_g2, 7)
+    pair_pts = [(P1, Q1), (eng2.g1.neg(P1), Q1)] * (npairs // 2)
+    ok = be.pairing_product_is_one(
+        [p for p, _ in pair_pts], [q for _, q in pair_pts]
+    )
+    assert ok
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        be.pairing_product_is_one(
+            [p for p, _ in pair_pts], [q for _, q in pair_pts]
+        )
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    rows.append(
+        {
+            "kernel": f"pairing product check ({npairs} pairs, batched Miller + 1 fexp)",
+            "batch": npairs,
+            "rate": npairs / t,
+            "work": "miller lanes + shared final exp",
+            "vpu_ceiling": None,
+            "hbm_ceiling": None,
+            "util_vs_sol": None,
+            "bound": "mixed",
+        }
+    )
+    print(f"pairing product: {npairs / t:,.0f} pairings/s")
+
     # ---- write report -------------------------------------------------------
     with open(args.out, "w") as f:
         f.write("# Per-kernel speed-of-light report (TPU v5e, 1 chip)\n\n")
