@@ -311,6 +311,14 @@ struct Ctx {
   Fp2E xi;
   FpE b;
   Fp2E b2;
+  // small-constant fast paths: beta = (-1)^beta_neg * beta_abs and
+  // xi = ((-1)^{...} handled via value) with tiny magnitudes -> the
+  // beta/xi multiplies become add chains instead of full fp_muls
+  int beta_small; // 1 when |beta| (mod-centered) < 64
+  int beta_neg;
+  u64 beta_abs;
+  int xi_small; // 1 when xi = (xi0, xi1) with both < 64 (plain values)
+  u64 xi0, xi1;
   Fp2E frob_v; // xi^((p-1)/3)
   Fp2E frob_w; // xi^((p-1)/6)
   int ndigits; // base-p digits of the hard-part exponent
@@ -336,6 +344,34 @@ static inline void f2_conj(const Ctx &c, const Fp2E &a, Fp2E &o) {
   o.c0 = a.c0;
   fp_neg(c.m, a.c1, o.c1);
 }
+
+// o = a * k for tiny k >= 0 via an add chain (Montgomery-form linear)
+static void fp_mul_small(const Mont &m, const FpE &a, u64 k, FpE &o) {
+  if (k == 0) {
+    fp_zero(o);
+    return;
+  }
+  int top = 63;
+  while (!((k >> top) & 1)) top--;
+  FpE acc = a;
+  for (int i = top - 1; i >= 0; i--) {
+    fp_add(m, acc, acc, acc);
+    if ((k >> i) & 1) fp_add(m, acc, a, acc);
+  }
+  o = acc;
+}
+
+// o = beta * a — add-chain fast path when beta is a small (+-) integer
+static inline void fp_mul_beta(const Ctx &c, const FpE &a, FpE &o) {
+  if (c.beta_small) {
+    FpE t;
+    fp_mul_small(c.m, a, c.beta_abs, t);
+    if (c.beta_neg) fp_neg(c.m, t, o);
+    else o = t;
+    return;
+  }
+  fp_mul(c.m, c.beta, a, o);
+}
 static void f2_mul(const Ctx &c, const Fp2E &a, const Fp2E &b, Fp2E &o) {
   // (a0 b0 + beta a1 b1, a0 b1 + a1 b0)  — fields.py:71-76
   FpE t0, t1, t2, t3;
@@ -344,7 +380,7 @@ static void f2_mul(const Ctx &c, const Fp2E &a, const Fp2E &b, Fp2E &o) {
   fp_mul(c.m, a.c0, b.c1, t2);
   fp_mul(c.m, a.c1, b.c0, t3);
   FpE bt;
-  fp_mul(c.m, c.beta, t1, bt);
+  fp_mul_beta(c, t1, bt);
   fp_add(c.m, t0, bt, o.c0);
   fp_add(c.m, t2, t3, o.c1);
 }
@@ -354,7 +390,7 @@ static inline void f2_sqr(const Ctx &c, const Fp2E &a, Fp2E &o) {
   fp_mul(c.m, a.c0, a.c0, t0);
   fp_mul(c.m, a.c1, a.c1, t1);
   fp_mul(c.m, a.c0, a.c1, t01);
-  fp_mul(c.m, c.beta, t1, bt);
+  fp_mul_beta(c, t1, bt);
   fp_add(c.m, t0, bt, o.c0);
   fp_add(c.m, t01, t01, o.c1);
 }
@@ -363,7 +399,7 @@ static void f2_inv(const Ctx &c, const Fp2E &a, Fp2E &o) {
   FpE t0, t1, bt, norm, ninv;
   fp_mul(c.m, a.c0, a.c0, t0);
   fp_mul(c.m, a.c1, a.c1, t1);
-  fp_mul(c.m, c.beta, t1, bt);
+  fp_mul_beta(c, t1, bt);
   fp_sub(c.m, t0, bt, norm);
   fp_inv(c.m, norm, ninv);
   fp_mul(c.m, a.c0, ninv, o.c0);
@@ -378,6 +414,27 @@ static inline bool f2_eq(const Ctx &c, const Fp2E &a, const Fp2E &b) {
   return fp_eq(c.m, a.c0, b.c0) && fp_eq(c.m, a.c1, b.c1);
 }
 static inline void f2_mul_xi(const Ctx &c, const Fp2E &a, Fp2E &o) {
+  if (c.xi_small) {
+    // xi = xi0 + xi1 u with tiny coefficients:
+    // (xi0 a0 + beta xi1 a1, xi1 a0 + xi0 a1) via add chains only
+    FpE s00, s10, s11, bt;
+    fp_mul_small(c.m, a.c0, c.xi0, s00);
+    fp_mul_small(c.m, a.c0, c.xi1, s10);
+    fp_mul_small(c.m, a.c1, c.xi0, s11);
+    if (c.beta_small) {
+      fp_mul_small(c.m, a.c1, c.beta_abs * c.xi1, bt);
+      if (c.beta_neg) fp_neg(c.m, bt, bt);
+    } else {
+      FpE s01;
+      fp_mul_small(c.m, a.c1, c.xi1, s01);
+      fp_mul_beta(c, s01, bt);
+    }
+    Fp2E out;
+    fp_add(c.m, s00, bt, out.c0);
+    fp_add(c.m, s10, s11, out.c1);
+    o = out;
+    return;
+  }
   f2_mul(c, a, c.xi, o);
 }
 static void f2_pow(const Ctx &c, const Fp2E &a, const u64 *e, int elimbs, Fp2E &o) {
@@ -1396,12 +1453,50 @@ int32_t mlt_ctx_new(const uint8_t *cfg, int64_t len) {
   for (uint32_t i = 0; i < L; i++) p[i] = rd_u64(q);
   mont_init(c->m, p, (int)L);
   int fb = 8 * (int)L;
+  // detect tiny beta / xi from the PLAIN cfg values for the add-chain
+  // fast paths (beta is canonical mod p, so -1 arrives as p-1 etc.)
+  auto plain_small = [&](const uint8_t *b, u64 *out) -> bool {
+    u64 v = 0;
+    for (int i = 7; i >= 0; i--) v = (v << 8) | b[i];
+    for (int i = 8; i < fb; i++)
+      if (b[i]) return false;
+    if (v >= 64) return false;
+    *out = v;
+    return true;
+  };
+  auto plain_small_signed = [&](const uint8_t *b, u64 *mag, int *neg) -> bool {
+    if (plain_small(b, mag)) {
+      *neg = 0;
+      return true;
+    }
+    // p - value small?  compute p - v limb-wise
+    u64 vl[MAXL], d[MAXL];
+    for (uint32_t i = 0; i < L; i++) {
+      u64 w = 0;
+      for (int j = 7; j >= 0; j--) w = (w << 8) | b[8 * i + j];
+      vl[i] = w;
+    }
+    sub_n(d, c->m.p, vl, (int)L);
+    for (uint32_t i = 1; i < L; i++)
+      if (d[i]) return false;
+    if (d[0] >= 64) return false;
+    *mag = d[0];
+    *neg = 1;
+    return true;
+  };
+  c->beta_small = plain_small_signed(q, &c->beta_abs, &c->beta_neg) ? 1 : 0;
   fp_from_bytes(c->m, q, c->beta);
   q += fb;
+  u64 x0 = 0, x1 = 0;
+  int xs0 = plain_small(q, &x0);
   fp_from_bytes(c->m, q, c->xi.c0);
   q += fb;
+  int xs1 = plain_small(q, &x1);
   fp_from_bytes(c->m, q, c->xi.c1);
   q += fb;
+  c->xi_small = (xs0 && xs1) ? 1 : 0;
+  c->xi0 = x0;
+  c->xi1 = x1;
   fp_from_bytes(c->m, q, c->b);
   q += fb;
   fp_from_bytes(c->m, q, c->b2.c0);
