@@ -261,6 +261,12 @@ def _bucket_table(
             jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
         )
 
+        # XLA pads the minor-most dim of a (W*C, R) step slice from R=3L
+        # up to 128 lanes (1.8x HBM at L=24) — emit the capture buffer
+        # re-tiled to a 128-wide minor dim when the row count divides
+        retile = (W * C * R) % 128 == 0
+        ys_shape = (W * C * R // 128, 128) if retile else (W * C, R)
+
         def body(carry, x):
             ck, cp = carry
             if signed:
@@ -273,7 +279,7 @@ def _bucket_table(
                 run = g1.add_select(
                     cp, points_rows[o].T.reshape(3, L, W * C), k == ck
                 )
-            return (k, run), run.reshape(R, W * C).T
+            return (k, run), run.reshape(R, W * C).T.reshape(ys_shape)
 
         xs = (keys_t, order_t, negs_t) if signed else (keys_t, order_t)
         (_, final_run), ys = jax.lax.scan(body, init, xs)
