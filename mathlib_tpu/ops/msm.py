@@ -283,8 +283,17 @@ def _bucket_table(
 
         xs = (keys_t, order_t, negs_t) if signed else (keys_t, order_t)
         (_, final_run), ys = jax.lax.scan(body, init, xs)
-        ys_flat = ys.reshape(K * W * C, R)
-        rows = ys_flat[jnp.minimum(pos, K * W * C - 1)]  # (W*B, R) row gather
+        safe = jnp.minimum(pos, jnp.uint32(K * W * C - 1))
+        if retile:
+            # gather 72-word rows straight out of the compact 1-D view —
+            # a reshape back to (K*W*C, R) would re-materialize the
+            # 128-lane-padded layout (+78% HBM, OOM at 2^22)
+            flat_idx = safe[:, None] * jnp.uint32(R) + jnp.arange(
+                R, dtype=jnp.uint32
+            )[None, :]
+            rows = ys.reshape(-1)[flat_idx]  # (W*B, R)
+        else:
+            rows = ys.reshape(K * W * C, R)[safe]
         bucket_rows = jnp.where(
             (pos == _SENTINEL)[:, None], inf_row[None, :], rows
         )
