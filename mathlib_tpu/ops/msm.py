@@ -261,12 +261,6 @@ def _bucket_table(
             jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
         )
 
-        # XLA pads the minor-most dim of a (W*C, R) step slice from R=3L
-        # up to 128 lanes (1.8x HBM at L=24) — emit the capture buffer
-        # re-tiled to a 128-wide minor dim when the row count divides
-        retile = (W * C * R) % 128 == 0
-        ys_shape = (W * C * R // 128, 128) if retile else (W * C, R)
-
         def body(carry, x):
             ck, cp = carry
             if signed:
@@ -279,21 +273,16 @@ def _bucket_table(
                 run = g1.add_select(
                     cp, points_rows[o].T.reshape(3, L, W * C), k == ck
                 )
-            return (k, run), run.reshape(R, W * C).T.reshape(ys_shape)
+            return (k, run), run.reshape(R, W * C).T
 
         xs = (keys_t, order_t, negs_t) if signed else (keys_t, order_t)
         (_, final_run), ys = jax.lax.scan(body, init, xs)
-        safe = jnp.minimum(pos, jnp.uint32(K * W * C - 1))
-        if retile:
-            # gather 72-word rows straight out of the compact 1-D view —
-            # a reshape back to (K*W*C, R) would re-materialize the
-            # 128-lane-padded layout (+78% HBM, OOM at 2^22)
-            flat_idx = safe[:, None] * jnp.uint32(R) + jnp.arange(
-                R, dtype=jnp.uint32
-            )[None, :]
-            rows = ys.reshape(-1)[flat_idx]  # (W*B, R)
-        else:
-            rows = ys.reshape(K * W * C, R)[safe]
+        # NOTE: ys is 128-lane padded by XLA (R=3L=72 -> 78% extra HBM);
+        # a compact re-tiled emit + flat gather was measured 2.8x SLOWER
+        # end-to-end (relayout cost), so large MSMs control memory by
+        # splitting to smaller leaves (see bucket_table) instead.
+        ys_flat = ys.reshape(K * W * C, R)
+        rows = ys_flat[jnp.minimum(pos, K * W * C - 1)]  # (W*B, R) row gather
         bucket_rows = jnp.where(
             (pos == _SENTINEL)[:, None], inf_row[None, :], rows
         )
@@ -465,6 +454,7 @@ def bucket_table(
     signed: bool = False,
     K: int = 64,
     capture: str = "auto",
+    _limit: Optional[int] = None,
 ) -> Array:
     """Stage 1 of Pippenger: per-window bucket sums.
 
@@ -478,17 +468,28 @@ def bucket_table(
     N = points.shape[-1]
     nwin_eff = n_windows(g1, c, signed=signed)
     NP = N + ((-N) % K)  # _bucket_table pads to a K multiple
+    limit = _DENSE_CAPTURE_LIMIT if _limit is None else _limit
     if (
         capture == "auto"
         and N % 2 == 0
-        and NP * nwin_eff * 3 * g1.fp.L * 4 >= _DENSE_CAPTURE_LIMIT
+        and NP * nwin_eff * 3 * g1.fp.L * 4 >= limit
     ):
         # Bucket tables are pointwise-addable: split the points in half so
         # each half's dense-capture buffer fits, then add the two tables.
-        # Keeps the scatter-free capture path at any N for O(N/2) memory.
+        # Keeps the scatter-free capture path at any N.  Once a split
+        # happens, recurse with HALF the budget: the leaf ys buffers are
+        # 128-lane padded (~1.8x), and smaller leaves keep XLA's peak
+        # liveness under HBM (2^20 leaves OOMed a 2^22 MSM by 750 MB).
         h = N // 2
-        t0 = bucket_table(g1, points[..., :h], scalars[..., :h], c, signed, K, capture)
-        t1 = bucket_table(g1, points[..., h:], scalars[..., h:], c, signed, K, capture)
+        half_limit = _DENSE_CAPTURE_LIMIT // 2
+        t0 = bucket_table(
+            g1, points[..., :h], scalars[..., :h], c, signed, K, capture,
+            _limit=half_limit,
+        )
+        t1 = bucket_table(
+            g1, points[..., h:], scalars[..., h:], c, signed, K, capture,
+            _limit=half_limit,
+        )
         W, B = t0.shape[-2], t0.shape[-1]
         L = t0.shape[1]
         return g1.add(
