@@ -64,21 +64,42 @@ def main() -> None:
             .T.astype(np.uint32)
         )
 
-    # ---- pre-timing consistency gate: production pipeline vs naive oracle
+    # ---- pre-timing consistency gates: production pipeline vs naive oracle
+    # Gate 1 runs the EXACT production config (same c/K/capture) at n=512;
+    # gate 2 re-runs it with a patched dense-capture budget so the
+    # recursive split path (the code the big timed run exercises at
+    # 2^21+) is also checked against the oracle.
     n0 = 512
     pts0 = jax.jit(g1.scalar_mul)(
         jnp.asarray(g1.gen), jnp.asarray(rand_scalars(n0))
     )
     scs0 = jnp.asarray(rand_scalars(n0))
+    want = g1.decode_point(
+        np.asarray(jax.jit(msm_naive, static_argnums=0)(g1, pts0, scs0))
+    )
     got = g1.decode_point(
         np.asarray(
-            jax.jit(lambda p, s: msm(g1, p, s, c=8, capture=capture))(pts0, scs0)
+            jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K))(
+                pts0, scs0
+            )
         )
     )
-    want = g1.decode_point(np.asarray(jax.jit(msm_naive, static_argnums=0)(g1, pts0, scs0)))
     assert got == want, (
-        "device MSM pipeline disagrees with the naive oracle — refusing to "
-        "print a benchmark number (got %r want %r)" % (got, want)
+        "device MSM pipeline (production config) disagrees with the naive "
+        "oracle — refusing to print a benchmark number (got %r want %r)"
+        % (got, want)
+    )
+    from mathlib_tpu.ops.msm import bucket_table, horner_windows, window_totals
+
+    def msm_split(p, s):
+        # _limit small enough that n=512 recursively splits (two levels)
+        b = bucket_table(g1, p, s, c=c, K=K, capture=capture, _limit=1 << 20)
+        return horner_windows(g1, window_totals(g1, b, c), c)
+
+    got_split = g1.decode_point(np.asarray(jax.jit(msm_split)(pts0, scs0)))
+    assert got_split == want, (
+        "device MSM split path disagrees with the naive oracle — refusing "
+        "to print a benchmark number (got %r want %r)" % (got_split, want)
     )
 
     # ---- inputs

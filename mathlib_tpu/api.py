@@ -448,6 +448,11 @@ class Curve:
         return Zr(int.from_bytes(digest, "big") % self.spec.r, self.curve_id)
 
     def HashToG1(self, data: bytes) -> G1:
+        if self.curve_id == CurveID.FP256BN_AMCL:
+            # distinct entry point: Bls_hash directly, NO HMAC
+            # (fp256bn.go:169-171); HashToG1WithDomain always HMACs, even
+            # with an empty domain (HMAC with empty key != identity)
+            return G1(self.hasher.amcl_bls_hash(bytes(data)), self.curve_id)
         return self.HashToG1WithDomain(data, b"")
 
     def HashToG1WithDomain(self, data: bytes, domain: bytes) -> G1:
@@ -455,10 +460,9 @@ class Curve:
         if self.curve_id in _BBS_IDS:
             p = self.hasher.hash_to_g1_bbs(data, domain)
         elif self.curve_id == CurveID.FP256BN_AMCL:
-            # legacy: HMAC-SHA256 domain separation then Bls_hash
-            # (fp256bn.go:169-178)
-            if domain:
-                data = hmaclib.new(domain, data, hashlib.sha256).digest()
+            # legacy: unconditional HMAC-SHA256 domain separation then
+            # Bls_hash (fp256bn.go:173-178)
+            data = hmaclib.new(domain, data, hashlib.sha256).digest()
             p = self.hasher.amcl_bls_hash(data)
         else:
             # miracl-core path for FP256BN_AMCL_MIRACL: hash_to_field

@@ -576,6 +576,24 @@ def msm_naive(g1: G1Ctx, points: Array, scalars: Array) -> Array:
 _BRIDGE_CACHE: dict = {}
 
 
+def auto_window(n: int, nbits: int = 255) -> int:
+    """Window size c from the MSM size (gnark's MultiExp auto-sizing seam,
+    driver/gurvy/bn254.go:239-242, translated to the TPU cost model).
+
+    c must divide 16 (LIMB_BITS).  Bucket-phase work is ~n*ceil(nbits/c)
+    point adds; the tail (weighted bucket sums) is ~2*(nbits/c)*2^c adds.
+    Minimizing the sum over c in {4, 8, 16} gives thresholds validated by
+    the measured c-sweep in BENCH_NOTES.md (c=16 ~45% faster at 2^20).
+    """
+    best, best_cost = 4, float("inf")
+    for c in (4, 8, 16):
+        w = -(-nbits // c)
+        cost = n * w + 2 * w * (1 << c)
+        if cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
 def _bridge_fn(spec_name: str, g1: G1Ctx, n_pad: int, c: int):
     key = (spec_name, n_pad, c)
     fn = _BRIDGE_CACHE.get(key)
@@ -590,8 +608,9 @@ def msm_host_bridge(spec, points, scalars):
 
     Encodes to the (3, L, N) device layout, pads N up to a power of two
     (infinity points with zero scalars are absorbing), runs the jitted
-    Pippenger program, and decodes.  Backs ``Curve.MultiScalarMul`` for
-    n >= 64 (reference seam: driver/gurvy/bls12381/bls12-381.go:766-783).
+    Pippenger program with the auto-sized window, and decodes.  Backs
+    ``Curve.MultiScalarMul`` for n >= 64 (reference seam:
+    driver/gurvy/bls12381/bls12-381.go:766-783).
     """
     from .g1 import get_g1_ctx
 
@@ -600,6 +619,6 @@ def msm_host_bridge(spec, points, scalars):
     n_pad = 1 << max(6, (n - 1).bit_length())
     pts = g1.encode_points(list(points) + [None] * (n_pad - n))
     scs = g1.encode_scalars(list(scalars) + [0] * (n_pad - n))
-    c = 8 if n_pad >= 4096 else 4
+    c = auto_window(n_pad, g1.nbits)
     out = _bridge_fn(spec.name, g1, n_pad, c)(pts, scs)
     return g1.decode_point(np.asarray(out))

@@ -588,3 +588,20 @@ def test_381_bbs_compat(crng):
         gurvy.HashToG1WithDomain(b"CD", b"EF").Bytes()
         == kilic.HashToG1WithDomain(b"CD", b"EF").Bytes()
     )
+
+
+def test_amcl_hash_entry_points():
+    """FP256BN_AMCL's two hash entry points are distinct (fp256bn.go:169-178):
+    HashToG1 = Bls_hash(data) directly; HashToG1WithDomain ALWAYS applies
+    HMAC-SHA256 first, even with an empty domain (HMAC with an empty key is
+    not the identity).  Other curves route HashToG1 == WithDomain(data, "")."""
+    amcl = Curves[CurveID.FP256BN_AMCL]
+    a = amcl.HashToG1(b"msg")
+    b = amcl.HashToG1WithDomain(b"msg", b"")
+    assert a.Bytes() != b.Bytes()
+    # deterministic and domain-sensitive
+    assert amcl.HashToG1(b"msg").Bytes() == a.Bytes()
+    assert amcl.HashToG1WithDomain(b"msg", b"d1").Bytes() != b.Bytes()
+    # non-AMCL curves: empty-domain call IS the plain entry point
+    k = Curves[CurveID.BLS12_381]
+    assert k.HashToG1(b"msg").Bytes() == k.HashToG1WithDomain(b"msg", b"").Bytes()
