@@ -143,6 +143,14 @@ class BatchEngine:
 
         return device_hash(self.spec, messages, dst)
 
+    def hash_to_g1_bbs_batch(self, messages: Sequence[bytes], dst: bytes = b"") -> Array:
+        """Messages -> (3, L, N) device points via the BBS+ legacy
+        big-endian-sign SSWU (kilic/custom.go:134-237), fully on device
+        apart from the BLAKE2b XMD bytes."""
+        from .ops.hash import hash_to_g1_bbs_batch as device_hash
+
+        return device_hash(self.spec, messages, dst)
+
     def bls_sign_batch(self, sk: int, messages: Sequence[bytes], dst: bytes = b"") -> List:
         """sig_i = [sk] H(m_i).
 

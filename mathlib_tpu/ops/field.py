@@ -316,9 +316,14 @@ class FpCtx:
     def pow_bits(self, a: Array, bits: np.ndarray) -> Array:
         """a**e where ``bits`` is the little-endian bit array of e (static).
 
-        Runs as a ``lax.scan`` over bit index so the compiled graph stays
-        small (one square + one masked multiply per step).
+        On TPU the whole chain runs as ONE Mosaic kernel (the acc stays in
+        VMEM across bits — kernels/pairing_pallas.py fp_pow_pallas);
+        otherwise a ``lax.scan`` over bit index keeps the graph small.
         """
+        if _pallas_enabled():
+            from .kernels.pairing_pallas import fp_pow_pallas
+
+            return fp_pow_pallas(self.p, self.L, a, bits[::-1].copy())
         one = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
         bits_arr = jnp.asarray(bits[::-1].copy())  # MSB first
 

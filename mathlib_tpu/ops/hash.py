@@ -417,6 +417,36 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
     return fn(u0, u1)
 
 
+def hash_to_g1_bbs_batch(spec: CurveSpec, msgs, dst: bytes) -> Array:
+    """Batched BBS+ legacy hash-to-G1 on device (kilic/custom.go:134-237).
+
+    Host does the BLAKE2b-512 expand_message_xmd and the from64Bytes
+    embedding e1 + e0*2^256 mod p (custom.go:312-342); the device pipeline
+    is the shared SSWU/isogeny/cofactor program with the BIG-ENDIAN sign
+    select (sign(z) = -z >= z, custom.go:99-105) instead of RFC sgn0.
+    Byte-equality with the host BBS path is pinned by tests.
+    """
+    from ..host.hash_to_curve import expand_message_xmd
+
+    ctx = get_hash_g1_ctx(spec)
+    p = spec.p
+    us0, us1 = [], []
+    for m in msgs:
+        uniform = expand_message_xmd(m, dst, 128, "blake2b512")
+        for half, out in ((uniform[:64], us0), (uniform[64:], us1)):
+            e0 = int.from_bytes(half[:32], "big")
+            e1 = int.from_bytes(half[32:], "big")
+            out.append((e1 + e0 * (1 << 256)) % p)
+    u0 = ctx.fp.encode(us0)
+    u1 = ctx.fp.encode(us1)
+    key = (spec.name, len(msgs), "be")
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda a, b: ctx.hash_to_g1(a, b, "be"))
+        _JIT_CACHE[key] = fn
+    return fn(u0, u1)
+
+
 def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
                      hash_name: str = "sha256") -> Array:
     """Batched messages -> (3, 2, L, N) projective G2 points on device.

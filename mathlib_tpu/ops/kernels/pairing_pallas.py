@@ -1,0 +1,853 @@
+"""Fused Pallas kernels for the pairing: Miller loop, add steps, pow chains.
+
+Round 2 ran the pairing as ~1500 small XLA/Pallas launches (one stacked
+Montgomery mul per tower op, glue in XLA) and measured 115 pairing
+products/s per chip — no better than one CPU core.  These kernels execute
+the ENTIRE Miller loop (and the final-exp exponentiation chains) inside
+single Mosaic kernels: f and T live in VMEM across all loop iterations,
+every tower multiply runs as sublane-stacked straight-line vector code,
+and one pairing-product check is a handful of launches instead of ~1500.
+
+Replaces the reference's engine pairing loops (driver/kilic/bls12-381.go:
+260-281 Engine.Result, driver/gurvy/bn254.go:247-267 MillerLoop +
+FinalExponentiation) with TPU-native fused kernels.
+
+Design:
+
+* In-kernel layout: one field element = L uint32 limb rows of (8, 128) —
+  sublanes x lanes = 1024 independent pairs per grid step (the same tile
+  contract as g1/g2_pallas).
+* **Sublane-stacked multiplies**: all independent base-field muls of one
+  algorithm level are concatenated along sublanes and run as ONE
+  RowCtx.mul on (8*k, 128) rows (k <= MUL_CHUNK, capped for VMEM).  A
+  full Fp12 squaring is 3 stacked muls instead of 36 serial ones; this
+  keeps the Mosaic instruction count ~10x smaller than naive unrolling
+  and the vector pipelines full.
+* The Miller loop is a `fori_loop` over the static bit pattern (SMEM
+  input); the sparse add step runs under `pl.when(bit)` — the reference
+  curves' loop constants have Hamming weight ~6, so the add branch
+  executes ~6 times in 63 iterations instead of being masked every step.
+* Doubling/addition steps use incomplete projective formulas that SHARE
+  intermediates with the line computation (derived in-line below; the
+  line coefficient convention A, D-B, -C matches ops/pairing.py, whose
+  docstring derivation is the repo-local spec).  Incomplete is sound in
+  a Miller loop: T = [m]Q with 0 < m < r never equals ±Q or infinity for
+  subgroup points Q != infinity.
+* Line scale freedom: each step's line and T representative are scaled
+  by Fp2* factors relative to the XLA path; subfield factors die in the
+  final exponentiation, so reduced pairings are bit-identical (tests
+  compare post-FExp against the exact host engine).
+
+Tower shape (matches ops/tower.py): Fp2 = Fp[u]/(u^2 - beta) with
+beta = -beta_neg; Fp6 = Fp2[v]/(v^3 - xi), xi = xi0 + u; Fp12 = Fp6[w]/
+(w^2 - v).  An f2 element in-kernel is a pair of limb-row lists; f6 a
+triple of f2; f12 a pair of f6.  Coefficient q of a stacked ref lives at
+rows [q*L, (q+1)*L).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fp_rows import LIMB_BITS, LIMB_MASK, RowCtx
+
+TILE_SUBLANES = 8
+TILE = TILE_SUBLANES * 128
+# max base-field muls stacked into one RowCtx.mul: bounds the (8*k, 128)
+# accumulator rows so the unrolled CIOS fits VMEM alongside f/T state
+MUL_CHUNK = 12
+# the Miller/pow kernels keep f (12L rows), T (6L), and a stacked-mul
+# accumulator live at once — beyond the 16 MiB default scoped-vmem cap
+# (measured 16.64M at L=24); v5e VMEM is far larger, so raise the limit
+# the way JAX's own attention kernels do
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+class MulBatch:
+    """Collect independent base-field muls; run them sublane-stacked."""
+
+    def __init__(self, F: RowCtx):
+        self.F = F
+        self.pairs: List = []
+
+    def push(self, a, b) -> int:
+        self.pairs.append((a, b))
+        return len(self.pairs) - 1
+
+    def run(self) -> List:
+        F, L = self.F, self.F.L
+        outs: List = []
+        for lo in range(0, len(self.pairs), MUL_CHUNK):
+            chunk = self.pairs[lo : lo + MUL_CHUNK]
+            if len(chunk) == 1:
+                outs.append(F.mul(chunk[0][0], chunk[0][1]))
+                continue
+            A = [
+                jnp.concatenate([p[0][i] for p in chunk], axis=0)
+                for i in range(L)
+            ]
+            B = [
+                jnp.concatenate([p[1][i] for p in chunk], axis=0)
+                for i in range(L)
+            ]
+            O = F.mul(A, B)
+            ts = chunk[0][0][0].shape[0]  # sublanes per operand
+            for k in range(len(chunk)):
+                outs.append([O[i][k * ts : (k + 1) * ts] for i in range(L)])
+        self.pairs = []
+        return outs
+
+
+class RowTower:
+    """Fp2/Fp6/Fp12 arithmetic on limb rows with batched multiplies."""
+
+    def __init__(self, p: int, L: int, beta_neg: int, xi0: int, twist: str):
+        self.F = RowCtx(p, L)
+        self.L = L
+        self.n = beta_neg  # beta = -n, small positive
+        self.xi0 = xi0  # xi = xi0 + u
+        self.twist = twist
+        R = 1 << (LIMB_BITS * L)
+        one = R % p
+        self.one_limbs = tuple(
+            (one >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
+        )
+
+    # ---------------------------------------------------------- fp helpers --
+    def zero_rows(self, like):
+        return [jnp.zeros_like(like) for _ in range(self.L)]
+
+    def one_rows(self, like):
+        return [jnp.full_like(like, v) for v in self.one_limbs]
+
+    def fneg(self, a):
+        return self.F.sub(self.zero_rows(a[0]), a)
+
+    # ---------------------------------------------------------------- fp2 ---
+    def add(self, a, b):
+        F = self.F
+        return (F.add(a[0], b[0]), F.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        F = self.F
+        return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
+
+    def neg(self, a):
+        return (self.fneg(a[0]), self.fneg(a[1]))
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def small(self, a, k: int):
+        F = self.F
+        return (F.mul_small(a[0], k), F.mul_small(a[1], k))
+
+    def mul_xi(self, a):
+        """a * (xi0 + u): (xi0*a0 - n*a1, xi0*a1 + a0)."""
+        F, n, x0 = self.F, self.n, self.xi0
+        na1 = a[1] if n == 1 else F.mul_small(a[1], n)
+        if x0 == 0:
+            return (self.fneg(na1), a[0])
+        return (
+            F.sub(F.mul_small(a[0], x0), na1),
+            F.add(F.mul_small(a[1], x0), a[0]),
+        )
+
+    # ---- queued f2 multiplies (resolver style; run via MulBatch) -----------
+    def q_mul(self, mb: MulBatch, a, b):
+        """Queue a Karatsuba f2 mul; returns resolver(outs) -> f2."""
+        F, n = self.F, self.n
+        i0 = mb.push(a[0], b[0])
+        i1 = mb.push(a[1], b[1])
+        i2 = mb.push(F.add(a[0], a[1]), F.add(b[0], b[1]))
+
+        def res(o):
+            t0, t1, t2 = o[i0], o[i1], o[i2]
+            nt1 = t1 if n == 1 else F.mul_small(t1, n)
+            return (F.sub(t0, nt1), F.sub(t2, F.add(t0, t1)))
+
+        return res
+
+    def q_sqr(self, mb: MulBatch, a):
+        F, n = self.F, self.n
+        if n == 1:
+            i0 = mb.push(F.add(a[0], a[1]), F.sub(a[0], a[1]))
+            i1 = mb.push(a[0], a[1])
+
+            def res(o):
+                return (o[i0], F.add(o[i1], o[i1]))
+
+            return res
+        i0 = mb.push(a[0], a[0])
+        i1 = mb.push(a[1], a[1])
+        i2 = mb.push(a[0], a[1])
+
+        def res(o):
+            t1 = o[i1] if n == 1 else F.mul_small(o[i1], n)
+            return (F.sub(o[i0], t1), F.add(o[i2], o[i2]))
+
+        return res
+
+    def q_mul_fp(self, mb: MulBatch, a, r):
+        """f2 x base-field rows."""
+        i0 = mb.push(a[0], r)
+        i1 = mb.push(a[1], r)
+
+        def res(o):
+            return (o[i0], o[i1])
+
+        return res
+
+    # ---------------------------------------------------------------- fp6 ---
+    def f6_add(self, a, b):
+        return tuple(self.add(x, y) for x, y in zip(a, b))
+
+    def f6_sub(self, a, b):
+        return tuple(self.sub(x, y) for x, y in zip(a, b))
+
+    def f6_mul_v(self, a):
+        return (self.mul_xi(a[2]), a[0], a[1])
+
+    def q_f6_mul(self, mb: MulBatch, a, b):
+        """Karatsuba: 6 independent f2 muls."""
+        r0 = self.q_mul(mb, a[0], b[0])
+        r1 = self.q_mul(mb, a[1], b[1])
+        r2 = self.q_mul(mb, a[2], b[2])
+        r12 = self.q_mul(mb, self.add(a[1], a[2]), self.add(b[1], b[2]))
+        r01 = self.q_mul(mb, self.add(a[0], a[1]), self.add(b[0], b[1]))
+        r02 = self.q_mul(mb, self.add(a[0], a[2]), self.add(b[0], b[2]))
+
+        def res(o):
+            t0, t1, t2 = r0(o), r1(o), r2(o)
+            m12, m01, m02 = r12(o), r01(o), r02(o)
+            c0 = self.add(t0, self.mul_xi(self.sub(self.sub(m12, t1), t2)))
+            c1 = self.add(self.sub(self.sub(m01, t0), t1), self.mul_xi(t2))
+            c2 = self.add(self.sub(self.sub(m02, t0), t2), t1)
+            return (c0, c1, c2)
+
+        return res
+
+    def q_f6_mul01(self, mb: MulBatch, a, b0, b1):
+        """a * (b0 + b1 v): 5 f2 muls."""
+        r00 = self.q_mul(mb, a[0], b0)
+        r11 = self.q_mul(mb, a[1], b1)
+        r20 = self.q_mul(mb, a[2], b0)
+        r21 = self.q_mul(mb, a[2], b1)
+        rx = self.q_mul(mb, self.add(a[0], a[1]), self.add(b0, b1))
+
+        def res(o):
+            a0b0, a1b1, a2b0, a2b1, x = r00(o), r11(o), r20(o), r21(o), rx(o)
+            c0 = self.add(a0b0, self.mul_xi(a2b1))
+            c1 = self.sub(self.sub(x, a0b0), a1b1)
+            c2 = self.add(a1b1, a2b0)
+            return (c0, c1, c2)
+
+        return res
+
+    # --------------------------------------------------------------- fp12 ---
+    def f12_sqr(self, f):
+        """Complex squaring over Fp6 (2 f6 muls, one stacked batch)."""
+        a0, a1 = f
+        mb = MulBatch(self.F)
+        rt = self.q_f6_mul(mb, a0, a1)
+        rm = self.q_f6_mul(
+            mb, self.f6_add(a0, a1), self.f6_add(a0, self.f6_mul_v(a1))
+        )
+        o = mb.run()
+        t, m1 = rt(o), rm(o)
+        c0 = self.f6_sub(self.f6_sub(m1, t), self.f6_mul_v(t))
+        c1 = self.f6_add(t, t)
+        return (c0, c1)
+
+    def f12_mul(self, f, g):
+        """Karatsuba over Fp6 (3 f6 muls, one stacked batch)."""
+        a0, a1 = f
+        b0, b1 = g
+        mb = MulBatch(self.F)
+        r0 = self.q_f6_mul(mb, a0, b0)
+        r1 = self.q_f6_mul(mb, a1, b1)
+        rs = self.q_f6_mul(mb, self.f6_add(a0, a1), self.f6_add(b0, b1))
+        o = mb.run()
+        t0, t1, ts = r0(o), r1(o), rs(o)
+        c0 = self.f6_add(t0, self.f6_mul_v(t1))
+        c1 = self.f6_sub(self.f6_sub(ts, t0), t1)
+        return (c0, c1)
+
+    def f12_sparse_mul(self, f, A, DmB, negC):
+        """f * line with the line placed per ops/pairing.py _line_f12:
+        M-twist: l0 = A*v^2,  l1 = (D-B) + (-C)*v
+        D-twist: l0 = A,      l1 = (-C) + (D-B)*v
+        14 (M) / 13 (D) f2 muls via w-Karatsuba, one stacked batch.
+        """
+        b0, b1 = (DmB, negC) if self.twist == "M" else (negC, DmB)
+        a0, a1 = f
+        mb = MulBatch(self.F)
+        if self.twist == "M":
+            # a*.(A v^2) = (xi*(a1 A), xi*(a2 A), a0 A)
+            r00 = self.q_mul(mb, a0[0], A)
+            r01 = self.q_mul(mb, a0[1], A)
+            r02 = self.q_mul(mb, a0[2], A)
+            r1 = self.q_f6_mul01(mb, a1, b0, b1)
+            rs = self.q_f6_mul(
+                mb, self.f6_add(a0, a1), (b0, b1, A)
+            )
+
+            def l0_of(p0, p1, p2):
+                return (self.mul_xi(p1), self.mul_xi(p2), p0)
+
+            o = mb.run()
+            a0l0 = l0_of(r00(o), r01(o), r02(o))
+            a1l1 = r1(o)
+            cross = rs(o)
+            # cross = (a0+a1)(l0+l1); c1 = cross - a0l0 - a1l1
+            c0 = self.f6_add(a0l0, self.f6_mul_v(a1l1))
+            c1 = self.f6_sub(self.f6_sub(cross, a0l0), a1l1)
+            return (c0, c1)
+        # D-twist: l0 = (A, 0, 0)
+        r00 = self.q_mul(mb, a0[0], A)
+        r01 = self.q_mul(mb, a0[1], A)
+        r02 = self.q_mul(mb, a0[2], A)
+        r1 = self.q_f6_mul01(mb, a1, b0, b1)
+        rs = self.q_f6_mul01(
+            mb, self.f6_add(a0, a1), self.add(b0, A), b1
+        )
+        o = mb.run()
+        a0l0 = (r00(o), r01(o), r02(o))
+        a1l1 = r1(o)
+        cross = rs(o)
+        c0 = self.f6_add(a0l0, self.f6_mul_v(a1l1))
+        c1 = self.f6_sub(self.f6_sub(cross, a0l0), a1l1)
+        return (c0, c1)
+
+    # ------------------------------------------------------- miller steps ---
+    def dbl_step(self, T, xP, yP):
+        """Tangent line at T evaluated at P + incomplete projective double.
+
+        Line convention (ops/pairing.py): A = 2YZ^2*yP, B = 2Y^2*Z,
+        C = 3X^2*Z*xP, D = 3X^3; slots (A, D-B, -C).  Double (derived by
+        clearing denominators of the affine tangent law; verified
+        X'/Z' = lambda^2 - 2x, Y'/Z' = lambda(x - x') - y):
+          S = YZ, W = 3X^2, Bd = X*Y^2*Z, H = W^2 - 8Bd
+          X' = 2HS, Y' = W(4Bd - H) - 8(Y^2 Z)^2? (= 8 Y^2 S^2), Z' = 8S^3
+        sharing S, X^2, YS = Y^2 Z, SZ = YZ^2 with the line.
+        """
+        X, Y, Z = T
+        mb = MulBatch(self.F)
+        rS = self.q_mul(mb, Y, Z)
+        rX2 = self.q_sqr(mb, X)
+        o = mb.run()
+        S, X2 = rS(o), rX2(o)
+        W = self.small(X2, 3)
+
+        mb = MulBatch(self.F)
+        rYS = self.q_mul(mb, Y, S)
+        rSZ = self.q_mul(mb, S, Z)
+        rS2 = self.q_sqr(mb, S)
+        rX3 = self.q_mul(mb, X2, X)
+        rX2Z = self.q_mul(mb, X2, Z)
+        rW2 = self.q_sqr(mb, W)
+        o = mb.run()
+        YS, SZ, S2, X3t, X2Z, W2 = (
+            rYS(o), rSZ(o), rS2(o), rX3(o), rX2Z(o), rW2(o),
+        )
+
+        mb = MulBatch(self.F)
+        rBd = self.q_mul(mb, X, YS)
+        rYS2 = self.q_sqr(mb, YS)
+        rSS2 = self.q_mul(mb, S, S2)
+        rA = self.q_mul_fp(mb, self.dbl(SZ), yP)
+        rC = self.q_mul_fp(mb, self.small(X2Z, 3), xP)
+        o = mb.run()
+        Bd, YS2, SS2, A, C = rBd(o), rYS2(o), rSS2(o), rA(o), rC(o)
+        H = self.sub(W2, self.small(Bd, 8))
+
+        mb = MulBatch(self.F)
+        rHS = self.q_mul(mb, H, S)
+        rWt = self.q_mul(mb, W, self.sub(self.small(Bd, 4), H))
+        o = mb.run()
+        HS, Wt = rHS(o), rWt(o)
+
+        Xn = self.dbl(HS)
+        Yn = self.sub(Wt, self.small(YS2, 8))
+        Zn = self.small(SS2, 8)
+
+        B = self.dbl(YS)
+        D = self.small(X3t, 3)
+        DmB = self.sub(D, B)
+        negC = self.neg(C)
+        return (A, DmB, negC), (Xn, Yn, Zn)
+
+    def add_step(self, T, Qx, Qy, xP, yP):
+        """Chord line through T and affine Q evaluated at P + incomplete
+        mixed addition (theta = Y - y2 Z, lambda = X - x2 Z; verified
+        against the affine chord law by clearing denominators).
+
+        Line convention (ops/pairing.py): A = lambda*yP,
+        D-B = theta*x2 - lambda*y2, C = theta*xP; slots (A, D-B, -C).
+        """
+        X, Y, Z = T
+        mb = MulBatch(self.F)
+        ry2Z = self.q_mul(mb, Qy, Z)
+        rx2Z = self.q_mul(mb, Qx, Z)
+        o = mb.run()
+        th = self.sub(Y, ry2Z(o))
+        lam = self.sub(X, rx2Z(o))
+
+        mb = MulBatch(self.F)
+        rl2 = self.q_sqr(mb, lam)
+        rth2 = self.q_sqr(mb, th)
+        rtx = self.q_mul(mb, th, Qx)
+        rly = self.q_mul(mb, lam, Qy)
+        rA = self.q_mul_fp(mb, lam, yP)
+        rC = self.q_mul_fp(mb, th, xP)
+        o = mb.run()
+        l2, th2 = rl2(o), rth2(o)
+        DmB = self.sub(rtx(o), rly(o))
+        A, C = rA(o), rC(o)
+
+        mb = MulBatch(self.F)
+        rl3 = self.q_mul(mb, l2, lam)
+        rG = self.q_mul(mb, X, l2)
+        rZt = self.q_mul(mb, Z, th2)
+        o = mb.run()
+        l3, G, Zt = rl3(o), rG(o), rZt(o)
+        H = self.sub(self.add(l3, Zt), self.dbl(G))
+
+        mb = MulBatch(self.F)
+        rXn = self.q_mul(mb, lam, H)
+        rYt = self.q_mul(mb, th, self.sub(G, H))
+        rYl = self.q_mul(mb, Y, l3)
+        rZn = self.q_mul(mb, Z, l3)
+        o = mb.run()
+        Xn = rXn(o)
+        Yn = self.sub(rYt(o), rYl(o))
+        Zn = rZn(o)
+        return (A, DmB, self.neg(C)), (Xn, Yn, Zn)
+
+
+# ---------------------------------------------------------------------------
+# ref <-> row-structure helpers (coefficient q at rows [q*L, (q+1)*L))
+# ---------------------------------------------------------------------------
+
+
+def _ld(ref, q: int, L: int):
+    return [ref[q * L + i] for i in range(L)]
+
+
+def _st(ref, q: int, L: int, rows):
+    for i in range(L):
+        ref[q * L + i] = rows[i]
+
+
+def _ld_f2(ref, k: int, L: int):
+    return (_ld(ref, 2 * k, L), _ld(ref, 2 * k + 1, L))
+
+
+def _st_f2(ref, k: int, L: int, e):
+    _st(ref, 2 * k, L, e[0])
+    _st(ref, 2 * k + 1, L, e[1])
+
+
+def _ld_f12(ref, L: int):
+    return tuple(
+        tuple(_ld_f2(ref, h * 3 + j, L) for j in range(3)) for h in range(2)
+    )
+
+
+def _st_f12(ref, L: int, f):
+    for h in range(2):
+        for j in range(3):
+            _st_f2(ref, h * 3 + j, L, f[h][j])
+
+
+def _ld_T(ref, L: int):
+    return tuple(_ld_f2(ref, c, L) for c in range(3))
+
+
+def _st_T(ref, L: int, T):
+    for c in range(3):
+        _st_f2(ref, c, L, T[c])
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _miller_kernel(
+    tw: RowTower,
+    nbits: int,
+    bits_ref,
+    xp_ref,
+    yp_ref,
+    qx_ref,
+    qy_ref,
+    f_ref,
+    t_ref,
+):
+    L = tw.L
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+
+    one = tw.one_rows(xP[0])
+    zero = tw.zero_rows(xP[0])
+
+    # T = (Qx, Qy, 1); f = 1
+    _st_f2(t_ref, 0, L, Qx)
+    _st_f2(t_ref, 1, L, Qy)
+    _st_f2(t_ref, 2, L, (one, zero))
+    for k in range(6):
+        _st_f2(f_ref, k, L, (one, zero) if k == 0 else (zero, zero))
+
+    def body(i, _):
+        T = _ld_T(t_ref, L)
+        (A, DmB, negC), T2 = tw.dbl_step(T, xP, yP)
+        f = _ld_f12(f_ref, L)
+        f = tw.f12_sqr(f)
+        f = tw.f12_sparse_mul(f, A, DmB, negC)
+        _st_f12(f_ref, L, f)
+        _st_T(t_ref, L, T2)
+
+        @pl.when(bits_ref[i] != 0)
+        def _():
+            T = _ld_T(t_ref, L)
+            (A, DmB, negC), Ta = tw.add_step(T, Qx, Qy, xP, yP)
+            f = _ld_f12(f_ref, L)
+            f = tw.f12_sparse_mul(f, A, DmB, negC)
+            _st_f12(f_ref, L, f)
+            _st_T(t_ref, L, Ta)
+
+        return 0
+
+    jax.lax.fori_loop(0, nbits, body, 0)
+
+
+def _add_step_kernel(
+    tw: RowTower, f_in, t_in, qx_ref, qy_ref, xp_ref, yp_ref, f_ref, t_ref
+):
+    """One Miller add step: (f, T) -> (f * l_{T,Q}(P), T + Q).
+
+    Used for the BN Frobenius tail (Q1 = pi(Q), Q2 = -pi^2(Q) chord lines,
+    ops/pairing.py miller_loop tail; reference seam bn254.go:247-267).
+    """
+    L = tw.L
+    T = _ld_T(t_in, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    (A, DmB, negC), Ta = tw.add_step(T, Qx, Qy, xP, yP)
+    f = _ld_f12(f_in, L)
+    f = tw.f12_sparse_mul(f, A, DmB, negC)
+    _st_f12(f_ref, L, f)
+    _st_T(t_ref, L, Ta)
+
+
+def _f12_pow_kernel(tw: RowTower, nbits: int, bits_ref, base_ref, out_ref):
+    """out = base**e, e given MSB-first in bits_ref (static length)."""
+    L = tw.L
+    one = tw.one_rows(base_ref[0])
+    zero = tw.zero_rows(base_ref[0])
+    for k in range(6):
+        _st_f2(out_ref, k, L, (one, zero) if k == 0 else (zero, zero))
+
+    def body(i, _):
+        f = tw.f12_sqr(_ld_f12(out_ref, L))
+        _st_f12(out_ref, L, f)
+
+        @pl.when(bits_ref[i] != 0)
+        def _():
+            f = tw.f12_mul(_ld_f12(out_ref, L), _ld_f12(base_ref, L))
+            _st_f12(out_ref, L, f)
+
+        return 0
+
+    jax.lax.fori_loop(0, nbits, body, 0)
+
+
+def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
+    """Base-field power chain (inverse/sqrt exponentiations) in one launch."""
+    L = F.L
+    a = _ld(a_ref, 0, L)
+    _st(o_ref, 0, L, [jnp.full_like(a[0], v) for v in one_limbs])
+
+    def body(i, _):
+        acc = _ld(o_ref, 0, L)
+        acc = F.mul(acc, acc)
+        _st(o_ref, 0, L, acc)
+
+        @pl.when(bits_ref[i] != 0)
+        def _():
+            acc = F.mul(_ld(o_ref, 0, L), a)
+            _st(o_ref, 0, L, acc)
+
+        return 0
+
+    jax.lax.fori_loop(0, nbits, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers: tiling, padding, caching
+# ---------------------------------------------------------------------------
+
+
+def _spec(nrows: int):
+    return pl.BlockSpec(
+        (nrows, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _flatten(x, nrows: int):
+    """(..., B) limb layout with nrows leading coeff*limb rows -> (nrows, M, 128)."""
+    x2 = x.reshape(nrows, -1)
+    tot = x2.shape[1]
+    pad = (-tot) % TILE
+    if pad:
+        x2 = jnp.pad(x2, [(0, 0), (0, pad)])
+    M = x2.shape[1] // 128
+    return x2.reshape(nrows, M, 128), tot
+
+
+@lru_cache(maxsize=None)
+def _build_miller(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str, nbits: int,
+    interpret: bool,
+):
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    kernel = partial(_miller_kernel, tw, nbits)
+    bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, xp, yp, qx, qy):
+        M = xp.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((6 * L, M, 128), jnp.uint32),
+            ),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[bits_spec, _spec(L), _spec(L), _spec(2 * L), _spec(2 * L)],
+            out_specs=(_spec(12 * L), _spec(6 * L)),
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, xp, yp, qx, qy)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _build_add_step(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str, interpret: bool
+):
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    kernel = partial(_add_step_kernel, tw)
+
+    @jax.jit
+    def run(f, t, qx, qy, xp, yp):
+        M = xp.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((6 * L, M, 128), jnp.uint32),
+            ),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[
+                _spec(12 * L), _spec(6 * L), _spec(2 * L), _spec(2 * L),
+                _spec(L), _spec(L),
+            ],
+            out_specs=(_spec(12 * L), _spec(6 * L)),
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(f, t, qx, qy, xp, yp)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _build_f12_pow(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str, nbits: int,
+    interpret: bool,
+):
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    kernel = partial(_f12_pow_kernel, tw, nbits)
+    bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, f):
+        M = f.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[bits_spec, _spec(12 * L)],
+            out_specs=_spec(12 * L),
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, f)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _build_fp_pow(p: int, L: int, nbits: int, interpret: bool):
+    F = RowCtx(p, L)
+    R = 1 << (LIMB_BITS * L)
+    one_limbs = tuple(
+        ((R % p) >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
+    )
+    kernel = partial(_fp_pow_kernel, F, one_limbs, nbits)
+    bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, a):
+        M = a.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, M, 128), jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[bits_spec, _spec(L)],
+            out_specs=_spec(L),
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, a)
+
+    return run
+
+
+def _cfg(spec) -> Tuple[int, int, int, int, str]:
+    p = spec.p
+    beta_neg = (p - spec.beta) % p
+    assert 0 < beta_neg < 256, "tower beta is not a small negative residue"
+    xi0, xi1 = spec.xi
+    assert xi1 == 1 and 0 <= xi0 < 256
+    L = -(-(p.bit_length() + 2) // LIMB_BITS)
+    return p, L, beta_neg, xi0, spec.twist
+
+
+def miller_pallas(spec, xP, yP, Qx, Qy, bits: np.ndarray, interpret=False):
+    """Full Miller loop as one kernel launch.
+
+    xP, yP: (..., L, B); Qx, Qy: (..., 2, L, B); bits MSB-first (static).
+    Returns (f, T): (..., 2, 3, 2, L, B) and (..., 3, 2, L, B).
+    """
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = jnp.broadcast_shapes(xP.shape[-1:], Qx.shape[-1:])
+    lead = jnp.broadcast_shapes(xP.shape[:-2], Qx.shape[:-3])
+    xP = jnp.broadcast_to(xP, lead + (L,) + lanes)
+    yP = jnp.broadcast_to(yP, lead + (L,) + lanes)
+    Qx = jnp.broadcast_to(Qx, lead + (2, L) + lanes)
+    Qy = jnp.broadcast_to(Qy, lead + (2, L) + lanes)
+    # move rows to front: (L, lead*B), (2L, lead*B)
+    xp2, tot = _flatten(jnp.moveaxis(xP, -2, 0), L)
+    yp2, _ = _flatten(jnp.moveaxis(yP, -2, 0), L)
+    qx2, _ = _flatten(
+        jnp.moveaxis(Qx, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    qy2, _ = _flatten(
+        jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    bits_arr = jnp.asarray(np.asarray(bits, dtype=np.uint32))
+    f3, t3 = _build_miller(p, L, beta_neg, xi0, twist, len(bits), interpret)(
+        bits_arr, xp2, yp2, qx2, qy2
+    )
+    M = f3.shape[1]
+    f = f3.reshape(12 * L, M * 128)[:, :tot].reshape((2, 3, 2, L) + lead + lanes)
+    t = t3.reshape(6 * L, M * 128)[:, :tot].reshape((3, 2, L) + lead + lanes)
+    nl = len(lead)
+    f = jnp.moveaxis(f, (0, 1, 2, 3), (nl, nl + 1, nl + 2, nl + 3))
+    t = jnp.moveaxis(t, (0, 1, 2), (nl, nl + 1, nl + 2))
+    return f, t
+
+
+def add_step_pallas(spec, f, T, Qx, Qy, xP, yP, interpret=False):
+    """(f, T) -> (f * l_{T,Q}(P), T + Q) as one kernel launch."""
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = f.shape[-1:]
+    lead = f.shape[:-5]
+    Qx = jnp.broadcast_to(Qx, lead + (2, L) + lanes)
+    Qy = jnp.broadcast_to(Qy, lead + (2, L) + lanes)
+    xP = jnp.broadcast_to(xP, lead + (L,) + lanes)
+    yP = jnp.broadcast_to(yP, lead + (L,) + lanes)
+    f2_, tot = _flatten(
+        jnp.moveaxis(f, (-5, -4, -3, -2), (0, 1, 2, 3)).reshape(
+            (12 * L,) + lead + lanes
+        ),
+        12 * L,
+    )
+    t2_, _ = _flatten(
+        jnp.moveaxis(T, (-4, -3, -2), (0, 1, 2)).reshape((6 * L,) + lead + lanes),
+        6 * L,
+    )
+    qx2, _ = _flatten(
+        jnp.moveaxis(Qx, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    qy2, _ = _flatten(
+        jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    xp2, _ = _flatten(jnp.moveaxis(xP, -2, 0).reshape((L,) + lead + lanes), L)
+    yp2, _ = _flatten(jnp.moveaxis(yP, -2, 0).reshape((L,) + lead + lanes), L)
+    f3, t3 = _build_add_step(p, L, beta_neg, xi0, twist, interpret)(
+        f2_, t2_, qx2, qy2, xp2, yp2
+    )
+    M = f3.shape[1]
+    fo = f3.reshape(12 * L, M * 128)[:, :tot].reshape((2, 3, 2, L) + lead + lanes)
+    to = t3.reshape(6 * L, M * 128)[:, :tot].reshape((3, 2, L) + lead + lanes)
+    nl = len(lead)
+    fo = jnp.moveaxis(fo, (0, 1, 2, 3), (nl, nl + 1, nl + 2, nl + 3))
+    to = jnp.moveaxis(to, (0, 1, 2), (nl, nl + 1, nl + 2))
+    return fo, to
+
+
+def f12_pow_pallas(spec, f, bits: np.ndarray, interpret=False):
+    """f**e with e's MSB-first bits static — one launch per exponentiation.
+
+    Backs the final-exp x-chains (ops/tower.py f12_final_exp; reference
+    seam: the FinalExponentiation call at bls12381/bls12-381.go:466-468).
+    """
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = f.shape[-1:]
+    lead = f.shape[:-5]
+    f2_, tot = _flatten(
+        jnp.moveaxis(f, (-5, -4, -3, -2), (0, 1, 2, 3)).reshape(
+            (12 * L,) + lead + lanes
+        ),
+        12 * L,
+    )
+    bits_msb = np.asarray(bits, dtype=np.uint32)
+    out = _build_f12_pow(
+        p, L, beta_neg, xi0, twist, len(bits_msb), interpret
+    )(jnp.asarray(bits_msb), f2_)
+    M = out.shape[1]
+    fo = out.reshape(12 * L, M * 128)[:, :tot].reshape(
+        (2, 3, 2, L) + lead + lanes
+    )
+    nl = len(lead)
+    return jnp.moveaxis(fo, (0, 1, 2, 3), (nl, nl + 1, nl + 2, nl + 3))
+
+
+def fp_pow_pallas(p: int, L: int, a, bits: np.ndarray, interpret=False):
+    """a**e over (..., L, B) limb arrays, e's MSB-first bits static.
+
+    One launch instead of ~nbits scan steps; backs FpCtx.pow_bits (inverse
+    and sqrt chains — the linknamed `inverse`/`sqrt` seams at
+    driver/kilic/custom.go:113-123)."""
+    lead = a.shape[:-2]
+    a2, tot = _flatten(jnp.moveaxis(a, -2, 0).reshape((L, -1)), L)
+    bits_msb = np.asarray(bits, dtype=np.uint32)
+    out = _build_fp_pow(p, L, len(bits_msb), interpret)(
+        jnp.asarray(bits_msb), a2
+    )
+    M = out.shape[1]
+    res = out.reshape(L, M * 128)[:, :tot].reshape((L,) + a.shape[:-2] + a.shape[-1:])
+    return jnp.moveaxis(res, 0, -2)

@@ -159,7 +159,37 @@ class PairingCtx:
         Qx, Qy: (..., 2, L, B) affine G2.  Batched pairing products are
         formed by multiplying Miller values before one shared final_exp
         (the Pairing2 seam, math.go:869-871).
+
+        On TPU the whole loop runs as ONE fused Mosaic kernel (f and T
+        VMEM-resident across all iterations, kernels/pairing_pallas.py);
+        the per-step lines there are scaled by Fp2* factors relative to
+        this XLA path, so unreduced Miller values differ by a subfield
+        factor that final_exp kills — reduced pairings are identical.
         """
+        from .field import _pallas_enabled
+
+        if _pallas_enabled():
+            return self._miller_loop_pallas(xP, yP, Qx, Qy)
+        return self._miller_loop_xla(xP, yP, Qx, Qy)
+
+    def _miller_loop_pallas(self, xP, yP, Qx, Qy) -> Array:
+        from .kernels.pairing_pallas import add_step_pallas, miller_pallas
+
+        t = self.tw
+        f, T = miller_pallas(self.spec, xP, yP, Qx, Qy, self.loop_bits)
+        if self.conj_end:
+            f = t.f12_conj(f)
+            T = self.g2c.neg(T)
+        if self.bn_tail:
+            Q1x = t.f2_mul_const(t.f2_conj(Qx), self.cx1)
+            Q1y = t.f2_mul_const(t.f2_conj(Qy), self.cy1)
+            Q2x = t.f2_mul_const(Qx, self.cx2)
+            Q2y = t.f2_neg(t.f2_mul_const(Qy, self.cy2))
+            f, T = add_step_pallas(self.spec, f, T, Q1x, Q1y, xP, yP)
+            f, T = add_step_pallas(self.spec, f, T, Q2x, Q2y, xP, yP)
+        return f
+
+    def _miller_loop_xla(self, xP, yP, Qx, Qy) -> Array:
         t = self.tw
         g2c = self.g2c
         lanes = jnp.broadcast_shapes(

@@ -411,10 +411,23 @@ class TowerCtx:
             ax = abs(spec.x)
             neg = spec.x < 0
             ax_bits = bits_of(ax)
+            from .field import _pallas_enabled
 
-            def exp_x(a):  # a^x (cyclotomic: inverse = conjugate)
-                r = self.f12_pow_bits(a, ax_bits)  # scan: small graph
-                return self.f12_conj(r) if neg else r
+            if _pallas_enabled():
+                from .kernels.pairing_pallas import f12_pow_pallas
+
+                # MSB-first static bits; whole chain = one fused launch
+                msb = ax_bits[::-1].copy()
+
+                def exp_x(a):
+                    r = f12_pow_pallas(spec, a, msb)
+                    return self.f12_conj(r) if neg else r
+
+            else:
+
+                def exp_x(a):  # a^x (cyclotomic: inverse = conjugate)
+                    r = self.f12_pow_bits(a, ax_bits)  # scan: small graph
+                    return self.f12_conj(r) if neg else r
 
             def exp_xm1(a):  # a^(x-1)
                 return self.f12_mul(exp_x(a), self.f12_conj(a))

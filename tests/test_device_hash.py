@@ -113,3 +113,18 @@ def test_device_hash_to_g2_matches_host():
     got = ctx.g2.decode_points(np.asarray(out))
     want = [hasher.hash_to_g2(m, DST_G2) for m in msgs]
     assert got == want
+
+
+def test_device_hash_to_g1_bbs_batch_entry():
+    """The public BBS batch entry point == host hash_to_g1_bbs exactly
+    (XMD + from64Bytes + BE-sign SSWU + isogeny + cofactor)."""
+    from mathlib_tpu.ops.hash import hash_to_g1_bbs_batch
+
+    hasher = get_hasher(SPEC)
+    ctx = get_hash_g1_ctx(SPEC)
+    dst = b"BBS_BLS12381G1_XMD:BLAKE2B_SSWU_RO_"
+    msgs = [b"", b"hello bbs", b"x" * 100, b"Chase!"]
+    out = hash_to_g1_bbs_batch(SPEC, msgs, dst)
+    got = ctx.g1.decode_points(np.asarray(out))
+    want = [hasher.hash_to_g1_bbs(m, dst) for m in msgs]
+    assert got == want

@@ -1,0 +1,501 @@
+"""Differential tests for the fused pairing kernels (ops/kernels/pairing_pallas.py).
+
+Strategy mirrors test_pallas_kernels.py: the kernel *bodies* are trace-time
+Python over uint32 rows, so the step functions (dbl_step, add_step, sparse
+Fp12 mul, Fp12 sqr/mul) run on numpy arrays against the exact host tower —
+full coverage of the math on every curve at millisecond cost.  The
+fori_loop/pl.when plumbing of the full Miller kernel is exercised once in
+interpret mode (slow) and on the real chip by tools/perf_report.py, which
+asserts device == host pairing before timing.
+
+Oracle notes: the kernel's doubling/addition produce different projective
+REPRESENTATIVES than the host engine (denominators cleared differently),
+so point outputs are compared in affine coordinates and line coefficients
+against the same formulas evaluated on host integers.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import mathlib_tpu.ops.kernels.fp_rows as fp_rows_mod
+import mathlib_tpu.ops.kernels.pairing_pallas as pp_mod
+from mathlib_tpu.curves.params import get_spec
+from mathlib_tpu.host.engine import get_engine
+from mathlib_tpu.host.fields import get_tower
+from mathlib_tpu.ops.kernels.pairing_pallas import MulBatch, RowTower
+
+CURVES = ["BLS12_381", "BLS12_377", "BN254", "FP256BN"]
+
+
+class _Ref:
+    """numpy-backed stand-in for a pl.Ref (same as test_pallas_kernels)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        self.arr[idx] = val
+
+
+class _FakePl:
+    """pl.when on numpy: condition is a concrete bool."""
+
+    @staticmethod
+    def when(cond):
+        def deco(f):
+            if bool(cond):
+                f()
+
+        return deco
+
+
+class _FakeLax:
+    @staticmethod
+    def fori_loop(lo, hi, body, init):
+        v = init
+        for i in range(lo, hi):
+            v = body(i, v)
+        return v
+
+
+class _FakeJax:
+    lax = _FakeLax
+
+
+@pytest.fixture
+def numpy_kernel_env(monkeypatch):
+    monkeypatch.setattr(fp_rows_mod, "jnp", np)
+    monkeypatch.setattr(pp_mod, "jnp", np)
+
+
+@pytest.fixture
+def numpy_kernel_env_full(monkeypatch):
+    """Shim for whole kernel BODIES: numpy rows + python control flow.
+
+    Covers init, fori_loop iteration, the pl.when add branch, and SMEM bit
+    reads — everything except Mosaic lowering itself (validated on the
+    real chip by tools/perf_report.py's pre-check)."""
+    monkeypatch.setattr(fp_rows_mod, "jnp", np)
+    monkeypatch.setattr(pp_mod, "jnp", np)
+    monkeypatch.setattr(pp_mod, "pl", _FakePl)
+    monkeypatch.setattr(pp_mod, "jax", _FakeJax)
+
+
+def _cfg(spec):
+    return pp_mod._cfg(spec)
+
+
+def _enc(vals, p, L):
+    """list of ints -> fp rows: list of L (1, B) uint32 arrays (Montgomery)."""
+    R = 1 << (16 * L)
+    out = np.empty((L, len(vals)), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        m = (v % p) * R % p
+        for k in range(L):
+            out[k, j] = (m >> (16 * k)) & 0xFFFF
+    return [out[k][None, :] for k in range(L)]
+
+
+def _dec(rows, p, L):
+    Rinv = pow(1 << (16 * L), p - 2, p)
+    B = rows[0].shape[-1]
+    out = []
+    for j in range(B):
+        v = sum(int(rows[k][0, j]) << (16 * k) for k in range(L))
+        out.append(v * Rinv % p)
+    return out
+
+
+def _enc2(pairs, p, L):
+    """list of (c0, c1) -> f2 rows pair."""
+    return (_enc([a for a, _ in pairs], p, L), _enc([b for _, b in pairs], p, L))
+
+
+def _dec2(e, p, L):
+    return list(zip(_dec(e[0], p, L), _dec(e[1], p, L)))
+
+
+def _enc12(vals12, p, L):
+    """list of host Fp12 -> row f12 structure (batched on lanes)."""
+    return tuple(
+        tuple(
+            _enc2([v[h][j] for v in vals12], p, L) for j in range(3)
+        )
+        for h in range(2)
+    )
+
+
+def _dec12(f, p, L):
+    n = f[0][0][0][0].shape[-1]
+    cs = [[_dec2(f[h][j], p, L) for j in range(3)] for h in range(2)]
+    return [
+        tuple(tuple(cs[h][j][i] for j in range(3)) for h in range(2))
+        for i in range(n)
+    ]
+
+
+def _rand_f12(t, rng):
+    return tuple(
+        tuple(
+            (rng.randrange(t.p), rng.randrange(t.p)) for _ in range(3)
+        )
+        for _ in range(2)
+    )
+
+
+def _line12(t, spec, A, DmB, negC):
+    """Assemble the sparse line into a host Fp12 (ops/pairing.py slots)."""
+    z = (0, 0)
+    if spec.twist == "M":
+        return ((z, z, A), (DmB, negC, z))
+    return ((A, z, z), (negC, DmB, z))
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_f12_ops_vs_host(name, numpy_kernel_env):
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    rng = random.Random(7)
+    fa = [_rand_f12(t, rng) for _ in range(3)]
+    fb = [_rand_f12(t, rng) for _ in range(3)]
+    ra, rb = _enc12(fa, p, L), _enc12(fb, p, L)
+
+    got = _dec12(tw.f12_sqr(ra), p, L)
+    want = [t.f12_sqr(x) for x in fa]
+    assert got == want, "f12_sqr mismatch"
+
+    got = _dec12(tw.f12_mul(ra, rb), p, L)
+    want = [t.f12_mul(x, y) for x, y in zip(fa, fb)]
+    assert got == want, "f12_mul mismatch"
+
+    # sparse line mul vs dense host mul of the assembled line
+    A = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    B0 = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    B1 = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    got = _dec12(
+        tw.f12_sparse_mul(
+            ra, _enc2(A, p, L), _enc2(B0, p, L), _enc2(B1, p, L)
+        ),
+        p,
+        L,
+    )
+    # both twists: args are the line coefficients (A, D-B, -C); placement
+    # per _line12 == ops/pairing.py _line_f12
+    want = [
+        t.f12_mul(x, _line12(t, spec, a, b0, b1))
+        for x, a, b0, b1 in zip(fa, A, B0, B1)
+    ]
+    assert got == want, "f12_sparse_mul mismatch"
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_miller_steps_vs_host(name, numpy_kernel_env):
+    """dbl_step/add_step: line coefficients == the same formulas on host
+    ints; point outputs == host group law in affine coordinates."""
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    eng = get_engine(spec)
+    rng = random.Random(13)
+
+    # random G2 multiples (host affine), random projective scalings
+    Qs = [eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r)) for _ in range(3)]
+    Ts = []
+    for m in (5, 9, 77):
+        x, y = eng.g2.mul(eng.gen_g2, m)
+        z = (rng.randrange(1, p), rng.randrange(p))
+        Ts.append((t.f2_mul(x, z), t.f2_mul(y, z), z))
+    Ps = [eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r)) for _ in range(3)]
+
+    X = _enc2([T[0] for T in Ts], p, L)
+    Y = _enc2([T[1] for T in Ts], p, L)
+    Z = _enc2([T[2] for T in Ts], p, L)
+    xP = _enc([P[0] for P in Ps], p, L)
+    yP = _enc([P[1] for P in Ps], p, L)
+
+    (A, DmB, negC), (Xn, Yn, Zn) = tw.dbl_step((X, Y, Z), xP, yP)
+    for i, (T, P) in enumerate(zip(Ts, Ps)):
+        Xh, Yh, Zh = T
+        # host-side same line formulas: A=2YZ^2*yP, B=2Y^2Z, C=3X^2Z*xP, D=3X^3
+        YZ = t.f2_mul(Yh, Zh)
+        X2 = t.f2_sqr(Xh)
+        Ah = t.f2_muls(t.f2_mul(t.f2_mul(YZ, Zh), t.f2(P[1])), 2)
+        Bh = t.f2_muls(t.f2_mul(Yh, YZ), 2)
+        Ch = t.f2_muls(t.f2_mul(t.f2_mul(X2, Zh), t.f2(P[0])), 3)
+        Dh = t.f2_muls(t.f2_mul(X2, Xh), 3)
+        assert _dec2(A, p, L)[i] == Ah
+        assert _dec2(DmB, p, L)[i] == t.f2_sub(Dh, Bh)
+        assert _dec2(negC, p, L)[i] == t.f2_neg(Ch)
+        # point: affine(T') == double of affine(T)
+        zi = t.f2_inv(Zh)
+        aff = (t.f2_mul(Xh, zi), t.f2_mul(Yh, zi))
+        want = eng.g2.add(aff, aff)
+        zni = t.f2_inv(_dec2(Zn, p, L)[i])
+        got = (
+            t.f2_mul(_dec2(Xn, p, L)[i], zni),
+            t.f2_mul(_dec2(Yn, p, L)[i], zni),
+        )
+        assert got == want, "dbl_step point mismatch"
+
+    Qx = _enc2([Q[0] for Q in Qs], p, L)
+    Qy = _enc2([Q[1] for Q in Qs], p, L)
+    (A, DmB, negC), (Xn, Yn, Zn) = tw.add_step((X, Y, Z), Qx, Qy, xP, yP)
+    for i, (T, Q, P) in enumerate(zip(Ts, Qs, Ps)):
+        Xh, Yh, Zh = T
+        th = t.f2_sub(Yh, t.f2_mul(Q[1], Zh))
+        lam = t.f2_sub(Xh, t.f2_mul(Q[0], Zh))
+        assert _dec2(A, p, L)[i] == t.f2_mul(lam, t.f2(P[1]))
+        assert _dec2(DmB, p, L)[i] == t.f2_sub(
+            t.f2_mul(th, Q[0]), t.f2_mul(lam, Q[1])
+        )
+        assert _dec2(negC, p, L)[i] == t.f2_neg(t.f2_mul(th, t.f2(P[0])))
+        zi = t.f2_inv(Zh)
+        aff = (t.f2_mul(Xh, zi), t.f2_mul(Yh, zi))
+        want = eng.g2.add(aff, Q)
+        zni = t.f2_inv(_dec2(Zn, p, L)[i])
+        got = (
+            t.f2_mul(_dec2(Xn, p, L)[i], zni),
+            t.f2_mul(_dec2(Yn, p, L)[i], zni),
+        )
+        assert got == want, "add_step point mismatch"
+
+
+def _host_dbl_step(t, spec, T, P):
+    """The kernel's dbl_step evaluated on host ints (same formulas)."""
+    X, Y, Z = T
+    S = t.f2_mul(Y, Z)
+    X2 = t.f2_sqr(X)
+    YS = t.f2_mul(Y, S)
+    SZ = t.f2_mul(S, Z)
+    S2 = t.f2_sqr(S)
+    A = t.f2_muls(t.f2_mul(SZ, t.f2(P[1])), 2)
+    C = t.f2_muls(t.f2_mul(t.f2_mul(X2, Z), t.f2(P[0])), 3)
+    B = t.f2_muls(YS, 2)
+    D = t.f2_muls(t.f2_mul(X2, X), 3)
+    W = t.f2_muls(X2, 3)
+    Bd = t.f2_mul(X, YS)
+    H = t.f2_sub(t.f2_sqr(W), t.f2_muls(Bd, 8))
+    Xn = t.f2_muls(t.f2_mul(H, S), 2)
+    Yn = t.f2_sub(
+        t.f2_mul(W, t.f2_sub(t.f2_muls(Bd, 4), H)), t.f2_muls(t.f2_sqr(YS), 8)
+    )
+    Zn = t.f2_muls(t.f2_mul(S, S2), 8)
+    return (A, t.f2_sub(D, B), t.f2_neg(C)), (Xn, Yn, Zn)
+
+
+def _host_add_step(t, spec, T, Q, P):
+    X, Y, Z = T
+    th = t.f2_sub(Y, t.f2_mul(Q[1], Z))
+    lam = t.f2_sub(X, t.f2_mul(Q[0], Z))
+    A = t.f2_mul(lam, t.f2(P[1]))
+    C = t.f2_mul(th, t.f2(P[0]))
+    DmB = t.f2_sub(t.f2_mul(th, Q[0]), t.f2_mul(lam, Q[1]))
+    l2 = t.f2_sqr(lam)
+    l3 = t.f2_mul(l2, lam)
+    G = t.f2_mul(X, l2)
+    H = t.f2_sub(t.f2_add(l3, t.f2_mul(Z, t.f2_sqr(th))), t.f2_muls(G, 2))
+    Xn = t.f2_mul(lam, H)
+    Yn = t.f2_sub(t.f2_mul(th, t.f2_sub(G, H)), t.f2_mul(Y, l3))
+    Zn = t.f2_mul(Z, l3)
+    return (A, DmB, t.f2_neg(C)), (Xn, Yn, Zn)
+
+
+def _f2_to_rows(e, p, L):
+    """f2 rows pair -> stacked (2L, 1, B) numpy array."""
+    return np.stack([r[0] for r in e[0]] + [r[0] for r in e[1]])[:, None, :]
+
+
+@pytest.mark.parametrize("name", ["BLS12_381", "BN254"])
+def test_miller_kernel_body_full(name, numpy_kernel_env_full):
+    """The ENTIRE _miller_kernel body (init + fori_loop + pl.when add
+    branch + SMEM bit reads) on numpy rows with the REAL curve loop bits,
+    against (a) the same algorithm simulated on the host tower and (b) the
+    true pairing: host final-exp of the Miller value (with conj/BN tail
+    applied host-side) == the host engine's pairing.  Mosaic lowering of
+    the same body is validated on the real chip by tools/perf_report.py.
+    """
+    spec = get_spec(name)
+    eng = get_engine(spec)
+    t = get_tower(spec)
+    from mathlib_tpu.ops.pairing import get_pairing_ctx
+
+    ctx = get_pairing_ctx(spec)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    rng = random.Random(3)
+    a = rng.randrange(2, spec.r)
+    b = rng.randrange(2, spec.r)
+    P = eng.g1.mul(eng.gen_g1, a)
+    Q = eng.g2.mul(eng.gen_g2, b)
+
+    bits = np.asarray(ctx.loop_bits, dtype=np.uint32)
+    xp = np.stack([r[0] for r in _enc([P[0]], p, L)])[:, None, :]
+    yp = np.stack([r[0] for r in _enc([P[1]], p, L)])[:, None, :]
+    qx = _f2_to_rows(_enc2([Q[0]], p, L), p, L)
+    qy = _f2_to_rows(_enc2([Q[1]], p, L), p, L)
+    f_out = np.zeros((12 * L, 1, 1), np.uint32)
+    t_out = np.zeros((6 * L, 1, 1), np.uint32)
+    pp_mod._miller_kernel(
+        tw, len(bits), _Ref(bits), _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
+        _Ref(f_out), _Ref(t_out),
+    )
+
+    def dec_f12(arr):
+        rows = tuple(
+            tuple(
+                (
+                    [arr[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                    [arr[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+                )
+                for j in range(3)
+            )
+            for h in range(2)
+        )
+        return _dec12(rows, p, L)[0]
+
+    got_f = dec_f12(f_out)
+
+    # (a) host simulation of the identical algorithm
+    fh = ((t.f2(1), t.f2(0), t.f2(0)), (t.f2(0), t.f2(0), t.f2(0)))
+    Th = (Q[0], Q[1], t.f2(1))
+    for bit in bits:
+        (A, DmB, negC), Th = _host_dbl_step(t, spec, Th, P)
+        fh = t.f12_mul(t.f12_sqr(fh), _line12(t, spec, A, DmB, negC))
+        if bit:
+            (A, DmB, negC), Th = _host_add_step(t, spec, Th, Q, P)
+            fh = t.f12_mul(fh, _line12(t, spec, A, DmB, negC))
+    assert got_f == fh, "kernel Miller value != host simulation"
+
+    # (b) the algorithm itself is a correct Miller loop: finish host-side
+    if ctx.conj_end:
+        fh = t.f12_conj(fh)
+        Th = (Th[0], t.f2_neg(Th[1]), Th[2])
+    if ctx.bn_tail:
+        Q1 = (
+            t.f2_mul(t.f2_conj(Q[0]), ctx.cx1),
+            t.f2_mul(t.f2_conj(Q[1]), ctx.cy1),
+        )
+        Q2 = (
+            t.f2_mul(Q[0], ctx.cx2),
+            t.f2_neg(t.f2_mul(Q[1], ctx.cy2)),
+        )
+        (A, DmB, negC), Th = _host_add_step(t, spec, Th, Q1, P)
+        fh = t.f12_mul(fh, _line12(t, spec, A, DmB, negC))
+        (A, DmB, negC), Th = _host_add_step(t, spec, Th, Q2, P)
+        fh = t.f12_mul(fh, _line12(t, spec, A, DmB, negC))
+    assert t.f12_final_exp(fh) == eng.pairing(P, Q)
+
+
+@pytest.mark.parametrize("name", ["BN254"])
+def test_add_step_kernel_body(name, numpy_kernel_env_full):
+    """_add_step_kernel body (the BN Frobenius-tail seam) on numpy rows."""
+    spec = get_spec(name)
+    eng = get_engine(spec)
+    t = get_tower(spec)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    rng = random.Random(11)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r))
+    T2 = eng.g2.mul(eng.gen_g2, 7)
+    zz = (rng.randrange(1, p), rng.randrange(p))
+    Th = (t.f2_mul(T2[0], zz), t.f2_mul(T2[1], zz), zz)
+    f0 = _rand_f12(t, rng)
+
+    f_in = np.concatenate(
+        [
+            np.stack([rr[0] for rr in rows])
+            for h in range(2)
+            for j in range(3)
+            for rows in _enc2([f0[h][j]], p, L)
+        ]
+    )[:, None, :]
+    t_in = np.concatenate(
+        [np.stack([rr[0] for rr in rows]) for c in range(3)
+         for rows in _enc2([Th[c]], p, L)]
+    )[:, None, :]
+    qx = _f2_to_rows(_enc2([Q[0]], p, L), p, L)
+    qy = _f2_to_rows(_enc2([Q[1]], p, L), p, L)
+    xp = np.stack([r[0] for r in _enc([P[0]], p, L)])[:, None, :]
+    yp = np.stack([r[0] for r in _enc([P[1]], p, L)])[:, None, :]
+    f_out = np.zeros_like(f_in)
+    t_out = np.zeros_like(t_in)
+    pp_mod._add_step_kernel(
+        tw, _Ref(f_in), _Ref(t_in), _Ref(qx), _Ref(qy), _Ref(xp), _Ref(yp),
+        _Ref(f_out), _Ref(t_out),
+    )
+    (A, DmB, negC), Tn = _host_add_step(t, spec, Th, Q, P)
+    fh = t.f12_mul(f0, _line12(t, spec, A, DmB, negC))
+    rows = tuple(
+        tuple(
+            (
+                [f_out[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                [f_out[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+    assert _dec12(rows, p, L)[0] == fh
+    got_T = tuple(
+        (
+            _dec([t_out[(2 * c) * L + i] for i in range(L)], p, L)[0],
+            _dec([t_out[(2 * c + 1) * L + i] for i in range(L)], p, L)[0],
+        )
+        for c in range(3)
+    )
+    assert got_T == Tn
+
+
+@pytest.mark.parametrize("name", ["BLS12_381"])
+def test_pow_kernel_bodies(name, numpy_kernel_env_full):
+    """_fp_pow_kernel / _f12_pow_kernel bodies on numpy rows vs host."""
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    rng = random.Random(5)
+    from mathlib_tpu.ops.kernels.fp_rows import RowCtx
+
+    vals = [rng.randrange(1, p) for _ in range(4)]
+    e = 0xD201000000010000
+    bits = np.array(
+        [int(ch) for ch in bin(e)[2:]], dtype=np.uint32
+    )  # MSB-first
+    a = np.stack([r[0] for r in _enc(vals, p, L)])[:, None, :]
+    out = np.zeros_like(a)
+    F = RowCtx(p, L)
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    pp_mod._fp_pow_kernel(F, one_limbs, len(bits), _Ref(bits), _Ref(a), _Ref(out))
+    got = _dec([out[i] for i in range(L)], p, L)
+    assert got == [pow(v, e, p) for v in vals]
+
+    f0 = _rand_f12(t, rng)
+    base = np.concatenate(
+        [np.stack([rr[0] for rr in rows]) for h in range(2)
+         for j in range(3) for rows in _enc2([f0[h][j]], p, L)]
+    )[:, None, :]
+    fout = np.zeros_like(base)
+    small = 0b1011001
+    bits_s = np.array([int(ch) for ch in bin(small)[2:]], dtype=np.uint32)
+    pp_mod._f12_pow_kernel(tw, len(bits_s), _Ref(bits_s), _Ref(base), _Ref(fout))
+    rows = tuple(
+        tuple(
+            (
+                [fout[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                [fout[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+    assert _dec12(rows, p, L)[0] == t.f12_pow(f0, small)
