@@ -341,6 +341,38 @@ class FpCtx:
         (driver/kilic/custom.go:113-123)."""
         return self.pow_bits(a, self._inv_bits)
 
+    def batch_inv(self, a: Array) -> Array:
+        """Elementwise inverse along the lane axis via a parallel product
+        tree (Montgomery's trick, log-depth): ~3N muls + ONE pow chain,
+        instead of N pow chains.  Zeros map to zero.  (..., L, N) in/out."""
+        N = a.shape[-1]
+        if N == 1:
+            return self.inv(a)
+        zero_mask = self.is_zero(a)
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), a.shape)
+        cur = self.select(~zero_mask, a, one)
+        P2 = 1 << (N - 1).bit_length()
+        if P2 != N:
+            pad = jnp.broadcast_to(
+                jnp.asarray(self.one_mont), a.shape[:-1] + (P2 - N,)
+            )
+            cur = jnp.concatenate([cur, pad], axis=-1)
+        # up-sweep: pairwise products
+        levels = [cur]
+        while levels[-1].shape[-1] > 1:
+            c = levels[-1]
+            levels.append(self.mont_mul(c[..., 0::2], c[..., 1::2]))
+        inv = self.inv(levels[-1])  # (..., L, 1)
+        # down-sweep: child_inv = parent_inv * sibling
+        for c in reversed(levels[:-1]):
+            m = c.shape[-1]
+            sw = jnp.flip(
+                c.reshape(c.shape[:-1] + (m // 2, 2)), axis=-1
+            ).reshape(c.shape)
+            inv = self.mont_mul(jnp.repeat(inv, 2, axis=-1), sw)
+        inv = inv[..., :N]
+        return self.select(~zero_mask, inv, jnp.zeros_like(a))
+
     def sqrt(self, a: Array) -> Array:
         """a^{(p+1)/4} for p ≡ 3 (mod 4); caller must verify the square."""
         assert self.sqrt_bits is not None, "p % 4 != 3: use host Tonelli-Shanks"

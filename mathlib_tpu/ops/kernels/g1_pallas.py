@@ -215,9 +215,85 @@ def _addselneg_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, neg_ref, o_re
     _write_point(o_ref, out, L)
 
 
+def _madd_common(F, b3, X1, Y1, Z1, X2, Y2):
+    """RCB complete MIXED addition (Alg 7 specialized to Z2 = 1): the
+    gathered MSM point is affine, so t2 = Z1 and two cross terms collapse
+    to one mul + one add each — 11 full muls instead of 12 and a third
+    less gather traffic.  Complete in P (including infinity and P == Q);
+    Q must not be infinity (MSM sentinel lanes never reach a bucket)."""
+    L = F.L
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = Z1
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.add(F.mul(Z1, Y2), Y1)  # (Y1+Z1)(Y2+1) - t1 - t2
+    ln = F.add(F.mul(Z1, X2), X1)
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    return AX, AY, AZ
+
+
+def _read_affine(ref, L):
+    return ([ref[0, i] for i in range(L)], [ref[1, i] for i in range(L)])
+
+
+def _maddsel_kernel(ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, o_ref):
+    """out = select(sel, P + lift(Q), lift(Q)) with Q affine (2, L) rows.
+
+    The mixed-add MSM segmented-scan combiner: gathers move 2L-word rows
+    instead of 3L."""
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+    X2, Y2 = _read_affine(q_ref, L)
+    one = [jnp.full_like(X2[0], v) for v in one_limbs]
+    AX, AY, AZ = _madd_common(F, b3, X1, Y1, Z1, X2, Y2)
+    sel = sel_ref[0] != 0
+    out = tuple(
+        [jnp.where(sel, A[i], B[i]) for i in range(L)]
+        for A, B in ((AX, X2), (AY, Y2), (AZ, one))
+    )
+    _write_point(o_ref, out, L)
+
+
+def _maddselneg_kernel(
+    ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, neg_ref, o_ref
+):
+    """Mixed-add combiner with fused conditional negation (signed digits)."""
+    F = ctx
+    L = ctx.L
+    X1, Y1, Z1 = _read_point(p_ref, L)
+    X2, Y2raw = _read_affine(q_ref, L)
+    ng = neg_ref[0] != 0
+    zero = [jnp.zeros_like(Y2raw[0])] * L
+    Y2n = F.sub(zero, Y2raw)
+    Y2 = [jnp.where(ng, Y2n[i], Y2raw[i]) for i in range(L)]
+    one = [jnp.full_like(X2[0], v) for v in one_limbs]
+    AX, AY, AZ = _madd_common(F, b3, X1, Y1, Z1, X2, Y2)
+    sel = sel_ref[0] != 0
+    out = tuple(
+        [jnp.where(sel, A[i], B[i]) for i in range(L)]
+        for A, B in ((AX, X2), (AY, Y2), (AZ, one))
+    )
+    _write_point(o_ref, out, L)
+
+
 def _point_spec(L):
     return pl.BlockSpec(
         (3, L, TILE_SUBLANES, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _affine_spec(L):
+    return pl.BlockSpec(
+        (2, L, TILE_SUBLANES, 128), lambda g: (0, 0, g, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -225,9 +301,12 @@ def _point_spec(L):
 def _build(p: int, L: int, b3: int, which: str, interpret: bool):
     ctx = RowCtx(p, L)
     spec = _point_spec(L)
+    aspec = _affine_spec(L)
     sel_spec = pl.BlockSpec(
         (1, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
     )
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
 
     if which == "add":
         kernel = partial(_add_kernel, ctx, b3)
@@ -244,6 +323,12 @@ def _build(p: int, L: int, b3: int, which: str, interpret: bool):
     elif which == "addselneg":
         kernel = partial(_addselneg_kernel, ctx, b3)
         specs = [spec, spec, sel_spec, sel_spec]
+    elif which == "maddsel":
+        kernel = partial(_maddsel_kernel, ctx, b3, one_limbs)
+        specs = [spec, aspec, sel_spec]
+    elif which == "maddselneg":
+        kernel = partial(_maddselneg_kernel, ctx, b3, one_limbs)
+        specs = [spec, aspec, sel_spec, sel_spec]
     else:  # pragma: no cover
         raise ValueError(which)
 
@@ -329,3 +414,32 @@ def addselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
     s3 = _sel_tiles(sel, P)
     n3 = _sel_tiles(neg, P)
     return restore(_build(p, L, b3, "addselneg", interpret)(P3, Q3, s3, n3))
+
+
+def _to_tiles_affine(Q):
+    """(..., 2, L, B) -> (2, L, M, 128) (no restore needed: inputs only)."""
+    shape = Q.shape
+    Q2 = jnp.moveaxis(Q, (-3, -2), (0, 1)).reshape(2, shape[-2], -1)
+    tot = Q2.shape[-1]
+    pad = (-tot) % TILE
+    if pad:
+        Q2 = jnp.pad(Q2, [(0, 0), (0, 0), (0, pad)])
+    M = Q2.shape[-1] // 128
+    return Q2.reshape(2, shape[-2], M, 128)
+
+
+def maddsel_pallas(p, L, b3, P, Q, sel, interpret=False):
+    """select(sel, P + lift(Q), lift(Q)), Q affine (..., 2, L, B)."""
+    P3, restore = _to_tiles(P)
+    Q3 = _to_tiles_affine(jnp.broadcast_to(Q, P.shape[:-3] + (2,) + P.shape[-2:]))
+    s3 = _sel_tiles(sel, P)
+    return restore(_build(p, L, b3, "maddsel", interpret)(P3, Q3, s3))
+
+
+def maddselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
+    """Mixed-add combiner with fused negation; Q affine (..., 2, L, B)."""
+    P3, restore = _to_tiles(P)
+    Q3 = _to_tiles_affine(jnp.broadcast_to(Q, P.shape[:-3] + (2,) + P.shape[-2:]))
+    s3 = _sel_tiles(sel, P)
+    n3 = _sel_tiles(neg, P)
+    return restore(_build(p, L, b3, "maddselneg", interpret)(P3, Q3, s3, n3))

@@ -266,6 +266,56 @@ class RowTower:
         c1 = self.f6_add(t, t)
         return (c0, c1)
 
+    def f12_cyclo_sqr(self, f):
+        """Granger-Scott squaring in the cyclotomic subgroup (eprint
+        2010/542, Alg. 5.2): 3 Fp4 squarings = 9 f2 squarings, half the
+        mul count of the dense f12_sqr.  Valid only for unitary elements
+        (everything after the easy part of the final exponentiation).
+
+        Fp4 pairs over Fp2[w^3]: (a0, b1), (b0, a2), (a1, b2) with
+        fp4_sqr(x, y) = (x^2 + xi*y^2, 2xy).
+        """
+        (a0, a1, a2), (b0, b1, b2) = f
+        mb = MulBatch(self.F)
+        qs = []
+        for x, y in ((a0, b1), (b0, a2), (a1, b2)):
+            qs.append(
+                (
+                    self.q_sqr(mb, x),
+                    self.q_sqr(mb, y),
+                    self.q_sqr(mb, self.add(x, y)),
+                )
+            )
+        o = mb.run()
+
+        def fp4(q):
+            x2, y2, s2 = q[0](o), q[1](o), q[2](o)
+            t0 = self.add(x2, self.mul_xi(y2))
+            t1 = self.sub(self.sub(s2, x2), y2)  # 2xy
+            return t0, t1
+
+        (t00, t01) = fp4(qs[0])
+        (t10, t11) = fp4(qs[1])
+        (t20, t21) = fp4(qs[2])
+        # z' = 2(t - z) + t for the conjugate-negated slots,
+        # z' = 2(t + z) + t for the others (Granger-Scott recombination)
+        def minus(t, z):
+            d = self.sub(t, z)
+            return self.add(self.dbl(d), t)
+
+        def plus(t, z):
+            d = self.add(t, z)
+            return self.add(self.dbl(d), t)
+
+        z0 = minus(t00, a0)
+        z1 = plus(t01, b1)
+        z4 = minus(t10, a1)
+        z5 = plus(t11, b2)
+        xt = self.mul_xi(t21)
+        z2 = plus(xt, b0)
+        z3 = minus(t20, a2)
+        return ((z0, z4, z3), (z2, z1, z5))
+
     def f12_mul(self, f, g):
         """Karatsuba over Fp6 (3 f6 muls, one stacked batch)."""
         a0, a1 = f
@@ -552,16 +602,22 @@ def _add_step_kernel(
     _st_T(t_ref, L, Ta)
 
 
-def _f12_pow_kernel(tw: RowTower, nbits: int, bits_ref, base_ref, out_ref):
-    """out = base**e, e given MSB-first in bits_ref (static length)."""
+def _f12_pow_kernel(
+    tw: RowTower, nbits: int, cyclo: bool, bits_ref, base_ref, out_ref
+):
+    """out = base**e, e given MSB-first in bits_ref (static length).
+
+    ``cyclo`` switches the squaring to Granger-Scott cyclotomic form
+    (valid for unitary bases — the final-exp hard-part chains)."""
     L = tw.L
     one = tw.one_rows(base_ref[0])
     zero = tw.zero_rows(base_ref[0])
     for k in range(6):
         _st_f2(out_ref, k, L, (one, zero) if k == 0 else (zero, zero))
+    sqr = tw.f12_cyclo_sqr if cyclo else tw.f12_sqr
 
     def body(i, _):
-        f = tw.f12_sqr(_ld_f12(out_ref, L))
+        f = sqr(_ld_f12(out_ref, L))
         _st_f12(out_ref, L, f)
 
         @pl.when(bits_ref[i] != 0)
@@ -677,10 +733,10 @@ def _build_add_step(
 @lru_cache(maxsize=None)
 def _build_f12_pow(
     p: int, L: int, beta_neg: int, xi0: int, twist: str, nbits: int,
-    interpret: bool,
+    cyclo: bool, interpret: bool,
 ):
     tw = RowTower(p, L, beta_neg, xi0, twist)
-    kernel = partial(_f12_pow_kernel, tw, nbits)
+    kernel = partial(_f12_pow_kernel, tw, nbits, cyclo)
     bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
@@ -809,11 +865,14 @@ def add_step_pallas(spec, f, T, Qx, Qy, xP, yP, interpret=False):
     return fo, to
 
 
-def f12_pow_pallas(spec, f, bits: np.ndarray, interpret=False):
+def f12_pow_pallas(spec, f, bits: np.ndarray, cyclo=False, interpret=False):
     """f**e with e's MSB-first bits static — one launch per exponentiation.
 
-    Backs the final-exp x-chains (ops/tower.py f12_final_exp; reference
-    seam: the FinalExponentiation call at bls12381/bls12-381.go:466-468).
+    ``cyclo=True`` uses Granger-Scott cyclotomic squaring (only valid for
+    unitary f — everything after the final-exp easy part), halving the
+    squaring cost.  Backs the final-exp x-chains (ops/tower.py
+    f12_final_exp; reference seam: the FinalExponentiation call at
+    bls12381/bls12-381.go:466-468).
     """
     p, L, beta_neg, xi0, twist = _cfg(spec)
     lanes = f.shape[-1:]
@@ -826,7 +885,7 @@ def f12_pow_pallas(spec, f, bits: np.ndarray, interpret=False):
     )
     bits_msb = np.asarray(bits, dtype=np.uint32)
     out = _build_f12_pow(
-        p, L, beta_neg, xi0, twist, len(bits_msb), interpret
+        p, L, beta_neg, xi0, twist, len(bits_msb), cyclo, interpret
     )(jnp.asarray(bits_msb), f2_)
     M = out.shape[1]
     fo = out.reshape(12 * L, M * 128)[:, :tot].reshape(

@@ -192,7 +192,9 @@ def _bucket_table(
     signed = neg is not None
     B = 1 << (c - 1) if signed else 1 << c
     lo = 1 if signed else 0  # smallest digit that owns a bucket
-    R = 3 * L  # words per point row
+    RP = points.shape[-3] * L  # words per GATHERED point row (2L affine)
+    R = 3 * L  # words per accumulator/bucket row (projective)
+    mixed = points.shape[-3] == 2
 
     order = jnp.argsort(digits, axis=1)  # (W, N)
     keys = jnp.take_along_axis(digits, order, axis=1)  # sorted
@@ -233,8 +235,20 @@ def _bucket_table(
     negs_t = to_steps(negs) if signed else None
 
     # point-major copy for the streaming gather: one row = one point
-    points_rows = jnp.asarray(points).reshape(R, N).T  # (N, R)
+    # (affine rows when mixed: 2L words instead of 3L)
+    points_rows = jnp.asarray(points).reshape(RP, N).T  # (N, RP)
     inf_row = jnp.asarray(g1.inf).reshape(R)
+
+    def combine(cp, rows_gathered, sel, ng):
+        """One segmented-scan step on freshly gathered point rows."""
+        p = rows_gathered.T.reshape(points.shape[-3], L, rows_gathered.shape[0])
+        if mixed:
+            if signed:
+                return g1.madd_select_neg(cp, p, sel, ng)
+            return g1.madd_select(cp, p, sel)
+        if signed:
+            return g1.add_select_neg(cp, p, sel, ng)
+        return g1.add_select(cp, p, sel)
 
     if capture == "auto":
         # same padded quantity as bucket_table's split guard, so an even-N
@@ -265,14 +279,9 @@ def _bucket_table(
             ck, cp = carry
             if signed:
                 k, o, ng = x
-                run = g1.add_select_neg(
-                    cp, points_rows[o].T.reshape(3, L, W * C), k == ck, ng
-                )
             else:
-                k, o = x
-                run = g1.add_select(
-                    cp, points_rows[o].T.reshape(3, L, W * C), k == ck
-                )
+                (k, o), ng = x, None
+            run = combine(cp, points_rows[o], k == ck, ng)
             return (k, run), run.reshape(R, W * C).T
 
         xs = (keys_t, order_t, negs_t) if signed else (keys_t, order_t)
@@ -300,14 +309,8 @@ def _bucket_table(
             if signed:
                 k, o, si, ng = x
             else:
-                k, o, si = x
-            p = points_rows[o].T.reshape(3, L, W * C)  # contiguous row gather
-            if signed:
-                # negation fused into the combiner kernel (one masked
-                # subtract in VMEM; an XLA-land negate costs 1.33x)
-                run = g1.add_select_neg(cp, p, k == ck, ng)
-            else:
-                run = g1.add_select(cp, p, k == ck)
+                (k, o, si), ng = x, None
+            run = combine(cp, points_rows[o], k == ck, ng)
             bucket_rows = bucket_rows.at[si].set(
                 run.reshape(R, W * C).T, mode="drop"
             )
@@ -462,8 +465,18 @@ def bucket_table(
     signed (bucket b = magnitude b+1; see _signed_digits).  Public seam so
     multi-chip MSM (parallel/msm.py) can shard the O(N) bucket
     accumulation over points and reduce bucket *tables* over ICI.
+
+    Projective inputs (3, L, N) are converted ONCE to affine rows (one
+    parallel batch inversion) so every scan-step gather moves 2L words
+    instead of 3L and the combiner is the cheaper mixed add; infinity
+    inputs keep exact semantics by zeroing their scalars ([k]inf = inf).
+    Affine inputs (2, L, N) are accepted directly.
     """
     assert LIMB_BITS % c == 0
+    if points.shape[-3] == 3:
+        inf = g1.is_inf(points)  # (N,)
+        scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
+        points = g1.to_affine_rows(points)
     nwin = -(-g1.nbits // c)
     N = points.shape[-1]
     nwin_eff = n_windows(g1, c, signed=signed)

@@ -416,11 +416,13 @@ class TowerCtx:
             if _pallas_enabled():
                 from .kernels.pairing_pallas import f12_pow_pallas
 
-                # MSB-first static bits; whole chain = one fused launch
+                # MSB-first static bits; whole chain = one fused launch.
+                # Post-easy-part values are unitary, so the kernel uses
+                # Granger-Scott cyclotomic squaring (half the muls).
                 msb = ax_bits[::-1].copy()
 
                 def exp_x(a):
-                    r = f12_pow_pallas(spec, a, msb)
+                    r = f12_pow_pallas(spec, a, msb, cyclo=True)
                     return self.f12_conj(r) if neg else r
 
             else:
@@ -449,6 +451,22 @@ class TowerCtx:
             e //= p
         nd = len(digits)
         assert nd <= 5, "unexpectedly many base-p digits"
+
+        from .field import _pallas_enabled
+
+        if _pallas_enabled() and nd <= 4:
+            # fused path: one cyclotomic pow-chain kernel per base-p digit
+            # (f is unitary after the easy part), combined with Frobenius:
+            # f^e = prod_i frob^i(f^{d_i})
+            from .kernels.pairing_pallas import f12_pow_pallas
+
+            acc = None
+            for i, d in enumerate(digits):
+                part = f12_pow_pallas(spec, f, bits_of(d)[::-1].copy(), cyclo=True)
+                if i:
+                    part = self.f12_frob(part, i)
+                acc = part if acc is None else self.f12_mul(acc, part)
+            return acc
         # bases: f^(p^i) via frobenius
         bases = [f]
         for _ in range(nd - 1):

@@ -499,3 +499,23 @@ def test_pow_kernel_bodies(name, numpy_kernel_env_full):
         for h in range(2)
     )
     assert _dec12(rows, p, L)[0] == t.f12_pow(f0, small)
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_cyclo_sqr_vs_dense(name, numpy_kernel_env):
+    """Granger-Scott cyclotomic squaring == dense f12_sqr on unitary
+    elements (made cyclotomic host-side via the easy part f^((p^6-1)(p^2+1)))."""
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    rng = random.Random(21)
+    fs = []
+    for _ in range(2):
+        f = _rand_f12(t, rng)
+        f = t.f12_pow(f, (p**6 - 1) * (p**2 + 1))
+        fs.append(f)
+    enc = _enc12(fs, p, L)
+    got = _dec12(tw.f12_cyclo_sqr(enc), p, L)
+    want = [t.f12_sqr(f) for f in fs]
+    assert got == want
