@@ -97,3 +97,100 @@ def test_miracl_g2_wire_format():
     # same point, different bytes on the legacy ID
     ga = a.GenG2.Mul(a.NewZrFromInt(9))
     assert ga.Bytes() != b and len(ga.Bytes()) == 128
+
+
+def test_bls12_381_generator_uncompressed_full():
+    """Full uncompressed generator bytes incl. the y coordinates — the
+    published BLS12-381 ciphersuite values (IETF BLS signatures draft /
+    RFC 9380 curve parameters).  Pins y-recovery and the G2 Fp2
+    coordinate order (c1 || c0 per coordinate, ZCash convention) that the
+    compressed-only pins above cannot see."""
+    c = Curves[CurveID.BLS12_381]
+    assert c.GenG1.Bytes().hex() == (
+        "17f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+        "6c55e83ff97a1aeffb3af00adb22c6bb"
+        "08b3f481e3aaa0f1a09e30ed741d8ae4fcf5e095d5d00af600db18cb2c04b3ed"
+        "d03cc744a2888ae40caa232946c5e7e1"
+    )
+    assert c.GenG2.Bytes().hex() == (
+        # x = c1 || c0
+        "13e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+        "334cf11213945d57e5ac7d055d042b7e"
+        "024aa2b2f08f0a91260805272dc51051c6e47ad4fa403b02b4510b647ae3d177"
+        "0bac0326a805bbefd48056c8c121bdb8"
+        # y = c1 || c0
+        "0606c4a02ea734cc32acd2b02bc28b99cb3e287e85a763af267492ab572e99ab"
+        "3f370d275cec1da1aaa9075ff05f79be"
+        "0ce5d527727d6e118cc9cdc6da2e351aadfd9baa8cbdd3a76d429a695160d12c"
+        "923ac9cc3baca289e193548608b82801"
+    )
+
+
+def test_bn254_eip196_add_vector():
+    """[2](1, 2) on alt_bn128 equals the public EIP-196 precompile test
+    vector (x = 13680151794899547013904003590785796930435194473311139789
+    18064868415326638035, y = 9918110051302171585080402603319702774565515
+    993150576347155970296011118125764) — an external pin on BN254 group
+    arithmetic AND the gnark uncompressed wire layout (32-byte BE x || y,
+    bn254.go:307-329)."""
+    c = Curves[CurveID.BN254]
+    two = c.GenG1.Mul(c.NewZrFromInt(2))
+    assert two.Bytes().hex() == (
+        "030644e72e131a029b85045b68181585d97816a916871ca8d3c208c16d87cfd3"
+        "15ed738c0e0a7c92e7845f96b2ae9c0a68a6a449e3538fc7ff3ebf7a5a18a2c4"
+    )
+    # additive consistency: G + G == [2]G through the API add
+    g = c.GenG1.Copy()
+    g.Add(c.GenG1)
+    assert g.Bytes() == two.Bytes()
+
+
+def test_gnark_compressed_flag_bytes():
+    """gnark-crypto BN254/BLS12-377 compressed flags (driver seam:
+    bn254.go:307-329): top two bits 10 = compressed-smallest-y,
+    11 = compressed-largest-y, 01 = compressed infinity, 00 =
+    uncompressed.  The generator (1, 2) has y = 2 < p - 2, so its
+    compressed form is exactly 0x80 || 31 zero bytes || 0x01."""
+    c = Curves[CurveID.BN254]
+    assert c.GenG1.Compressed().hex() == (
+        "8000000000000000000000000000000000000000000000000000000000000001"
+    )
+    assert c.NewG1().Compressed()[0] == 0x40  # compressed infinity
+    # -G has the lexicographically larger y -> 0xC0 flag, same x bytes
+    neg = c.GenG1.Copy()
+    neg.Neg()
+    nb = neg.Compressed()
+    assert nb[0] == 0xC0 and nb[1:] == c.GenG1.Compressed()[1:]
+    # round-trips through the flag decoder
+    got, err = c.NewG1FromCompressed(nb)
+    assert err is None and got.Equals(neg)
+    c377 = Curves[CurveID.BLS12_377_GURVY]
+    n377 = c377.GenG1.Copy()
+    n377.Neg()
+    assert (c377.GenG1.Compressed()[0] & 0xC0, n377.Compressed()[0] & 0xC0) in (
+        ((0x80, 0xC0)),
+        ((0xC0, 0x80)),
+    )
+
+
+def test_gt_bytes_format_frozen():
+    """Gt wire format: 576 B = 12 Fp coefficients for BLS12-381 (the kilic
+    layout, driver/kilic/bls12-381.go:330-334).  No public byte vector for
+    e(G1, G2) is available offline, so this freezes the implemented
+    coefficient order against regression: the digest below was produced by
+    THIS codec (round 3) and any later reordering fails here.  The value
+    itself is cross-checked algebraically (GenGt == FExp(e(G2, G1)),
+    Gt round-trips, unity pins) in test_api_mathlib."""
+    import hashlib
+
+    k = Curves[CurveID.BLS12_381]
+    b = k.GenGt.Bytes()
+    assert len(b) == 576
+    assert (
+        hashlib.sha256(b).hexdigest()
+        == "300e47c99502f3af33ad2080847d528cabd90365a90ab98bc174565c27928591"
+    )
+    # first coefficient is nonzero (a sanity guard for all-zero layouts)
+    assert any(b[:48])
+    got, err = k.NewGtFromBytes(b)
+    assert err is None and got.Equals(k.GenGt)
