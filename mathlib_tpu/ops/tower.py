@@ -395,6 +395,17 @@ class TowerCtx:
         subgroup (where inversion is conjugation).  Other conventions fall
         back to a generic base-p multi-exponentiation with shared
         squarings (table lookups on device)."""
+        from .field import _pallas_enabled
+
+        if _pallas_enabled():
+            # TPU: the whole final exp (easy part incl. the Fp12 inversion
+            # + the 5 hard-part x-chains) as ONE fused kernel launch
+            from .kernels.pairing_pallas import final_exp_pallas
+
+            out = final_exp_pallas(self.spec, f)
+            if out is not None:
+                return out
+
         # easy part: f^(p^6-1) then ^(p^2+1)
         t = self.f12_mul(self.f12_conj(f), self.f12_inv(f))
         f = self.f12_mul(self.f12_frob(t, 2), t)

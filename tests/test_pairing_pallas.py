@@ -487,7 +487,9 @@ def test_pow_kernel_bodies(name, numpy_kernel_env_full):
     fout = np.zeros_like(base)
     small = 0b1011001
     bits_s = np.array([int(ch) for ch in bin(small)[2:]], dtype=np.uint32)
-    pp_mod._f12_pow_kernel(tw, len(bits_s), _Ref(bits_s), _Ref(base), _Ref(fout))
+    pp_mod._f12_pow_kernel(
+        tw, len(bits_s), False, _Ref(bits_s), _Ref(base), _Ref(fout)
+    )
     rows = tuple(
         tuple(
             (
@@ -519,3 +521,73 @@ def test_cyclo_sqr_vs_dense(name, numpy_kernel_env):
     got = _dec12(tw.f12_cyclo_sqr(enc), p, L)
     want = [t.f12_sqr(f) for f in fs]
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["BLS12_381", "BLS12_377"])
+def test_final_exp_kernel_body(name, numpy_kernel_env_full):
+    """The whole fused final-exp kernel body (easy part with in-kernel
+    Fp12 inversion + BLS12 factor-3 hard-part x-chains) on numpy rows vs
+    the host tower's f12_final_exp."""
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    gammas = pp_mod.frob_gammas(spec, p, L)
+    rng = random.Random(31)
+    f0 = _rand_f12(t, rng)
+
+    inv_bits = np.array([int(b) for b in bin(p - 2)[2:]], dtype=np.uint32)
+    x_bits = np.array([int(b) for b in bin(abs(spec.x))[2:]], dtype=np.uint32)
+    f_in = np.concatenate(
+        [np.stack([rr[0] for rr in rows]) for h in range(2)
+         for j in range(3) for rows in _enc2([f0[h][j]], p, L)]
+    )[:, None, :]
+    out = np.zeros_like(f_in)
+    acc = np.zeros_like(f_in)
+    base = np.zeros_like(f_in)
+    pp_mod._final_exp_kernel(
+        tw, gammas, len(inv_bits), len(x_bits), spec.x < 0,
+        _Ref(inv_bits), _Ref(x_bits), _Ref(f_in), _Ref(out), _Ref(acc),
+        _Ref(base),
+    )
+    rows = tuple(
+        tuple(
+            (
+                [out[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                [out[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+    assert _dec12(rows, p, L)[0] == t.f12_final_exp(f0)
+
+
+@pytest.mark.parametrize("name", ["BLS12_381"])
+def test_f12_pow_kernel_cyclo_body(name, numpy_kernel_env_full):
+    """cyclo=True pow kernel body on a unitary base vs host f12_pow."""
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    t = get_tower(spec)
+    rng = random.Random(41)
+    f0 = t.f12_pow(_rand_f12(t, rng), (p**6 - 1) * (p**2 + 1))
+    base = np.concatenate(
+        [np.stack([rr[0] for rr in rows]) for h in range(2)
+         for j in range(3) for rows in _enc2([f0[h][j]], p, L)]
+    )[:, None, :]
+    fout = np.zeros_like(base)
+    e = 0xD2013F
+    bits = np.array([int(ch) for ch in bin(e)[2:]], dtype=np.uint32)
+    pp_mod._f12_pow_kernel(tw, len(bits), True, _Ref(bits), _Ref(base), _Ref(fout))
+    rows = tuple(
+        tuple(
+            (
+                [fout[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                [fout[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+    assert _dec12(rows, p, L)[0] == t.f12_pow(f0, e)
