@@ -281,6 +281,12 @@ class G2:
         return self._c().codec.g2_to_bytes(self.point, compressed=True)
 
     def __str__(self) -> str:
+        # the reference's default BLS12-381 backend returns "" here
+        # (kilic/bls12-381.go:166-169, an upstream FIXME); match it for the
+        # kilic-backed IDs and give the informative coordinate tuple on the
+        # others (whose reference formats are backend-specific anyway)
+        if self.curve_id in _KILIC_IDS:
+            return ""
         return "" if self.point is None else str(self.point)
 
     String = __str__

@@ -440,11 +440,162 @@ def _weighted_bucket_sum_bits(g1: G1Ctx, buckets: Array, c: int) -> Array:
     return acc
 
 
-def n_windows(g1: G1Ctx, c: int, signed: bool = False) -> int:
+# ---------------------------------------------------------------------------
+# GLV: k = k2 * lam + k1 by exact device divmod (BLS12: lam = x^2 - 1, so
+# the plain quotient/remainder split is balanced at ~sqrt(r) with NO signs)
+# ---------------------------------------------------------------------------
+
+
+class GlvCtx:
+    """Device GLV split for BLS12 G1 (endomorphism phi(P) = (beta x, y)).
+
+    The reference reaches gnark's GLV ScalarMultiplication through
+    bls12381/bls12-381.go:238-247; here the split halves the Pippenger
+    window count (16 -> 8 at c=16) for doubled points.  BLS12 only: with
+    lam = x^2 - 1 and r = x^4 - x^2 + 1, k = k2*lam + k1 gives
+    0 <= k1 < lam < 2^128 and 0 <= k2 <= x^2 < 2^128 — balanced without
+    lattice rounding or signed halves.
+    """
+
+    def __init__(self, g1: G1Ctx):
+        from ..curves.params import Family
+        from ..host.engine import get_engine
+
+        spec = g1.spec
+        if spec.family != Family.BLS12:
+            raise ValueError("device GLV split: BLS12 curves only")
+        lam = (spec.x * spec.x - 1) % spec.r
+        assert (lam * lam + lam + 1) % spec.r == 0, "lam is not a cube root"
+        # match the beta with [lam]P == (beta x, y) on the generator
+        eng = get_engine(spec)
+        gx, gy = spec.g1_gen
+        want = eng.g1.mul(spec.g1_gen, lam)
+        beta = None
+        p = spec.p
+        for cand in self._cube_roots(p):
+            if (gx * cand % p, gy) == want:
+                beta = cand
+                break
+        assert beta is not None, "no beta matches the lam eigenvalue"
+        self.lam, self.beta = lam, beta
+        self.g1 = g1
+        self.nbits = 128
+        self.SL = self.nbits // LIMB_BITS  # 8 sub-scalar limbs
+        S = g1.fr.L
+        # Barrett: mu = floor(2^(16*S) / lam) (k < 2^(16*S) gives
+        # q_hat in {q-1, q}); quotient q <= x^2 < 2^128
+        self.shift_limbs = S
+        mu = (1 << (LIMB_BITS * self.shift_limbs)) // lam
+        self.mu = np.array(
+            [(mu >> (LIMB_BITS * k)) & 0xFFFF for k in range(-(-mu.bit_length() // LIMB_BITS))],
+            dtype=np.uint32,
+        )[:, None]
+        self.lam_limbs = np.array(
+            [(lam >> (LIMB_BITS * k)) & 0xFFFF for k in range(self.SL)],
+            dtype=np.uint32,
+        )[:, None]
+        self.beta_mont = g1.fp.encode(beta)
+
+    @staticmethod
+    def _cube_roots(m: int) -> list:
+        # roots of z^2 + z + 1 mod m: (-1 +- sqrt(-3)) / 2
+        s = pow(m - 3, (m + 1) // 4, m) if m % 4 == 3 else None
+        if s is None or s * s % m != m - 3:
+            # generic Tonelli-Shanks via host engine helpers
+            from ..host.native import _sqrt_mod
+
+            s = _sqrt_mod(m - 3, m)
+        if s is None:
+            return []
+        inv2 = pow(2, -1, m)
+        return [((-1 + s) * inv2) % m, ((-1 - s) * inv2) % m]
+
+    # ------------------------------------------------------------- helpers --
+    @staticmethod
+    def _sub_limbs(a: Array, b: Array, n: int) -> Array:
+        """a - b on (n, N) canonical 16-bit limbs, assuming a >= b."""
+        out = []
+        borrow = jnp.zeros_like(a[0])
+        for k in range(n):
+            bk = b[k] if k < b.shape[0] else jnp.zeros_like(a[0])
+            v = a[k] + jnp.uint32(0x10000) - bk - borrow
+            out.append(v & jnp.uint32(0xFFFF))
+            borrow = jnp.uint32(1) - (v >> 16)
+        return jnp.stack(out, axis=0)
+
+    @staticmethod
+    def _geq(a: Array, b_limbs: np.ndarray, n: int) -> Array:
+        """a >= b (b a constant limb column), lexicographic from the top."""
+        ge = jnp.ones(a.shape[1:], dtype=bool)
+        decided = jnp.zeros_like(ge)
+        for k in range(n - 1, -1, -1):
+            bv = jnp.uint32(int(b_limbs[k, 0]) if k < b_limbs.shape[0] else 0)
+            ne = a[k] != bv
+            ge = jnp.where(jnp.logical_and(~decided, ne), a[k] > bv, ge)
+            decided = jnp.logical_or(decided, ne)
+        return ge
+
+    def split(self, scalars: Array):
+        """(S, N) canonical limbs of k in [0, r) -> (k1, k2), each
+        (SL, N) with k = k2*lam + k1 exactly and both < 2^128."""
+        from .field import _conv
+
+        S = self.g1.fr.L
+        N = scalars.shape[-1]
+        mu = jnp.asarray(self.mu)
+        lam = jnp.asarray(self.lam_limbs)
+        # q_hat = floor(k * mu / 2^(16*shift)) (within 2 of the true q)
+        prod = _conv(scalars, mu)  # (S + len(mu), N) redundant limbs
+        from .field import _normalize
+
+        prod = _normalize(prod)
+        q = prod[self.shift_limbs : self.shift_limbs + self.SL]
+        # rem = k - q*lam (fits S limbs; non-negative by Barrett bound)
+        ql = _normalize(_conv(q, lam))[:S]
+        rem = self._sub_limbs(scalars, ql, S)
+        # at most two corrections: rem >= lam -> rem -= lam, q += 1
+        for _ in range(2):
+            fix = self._geq(rem, self.lam_limbs, S)
+            rem_f = self._sub_limbs(rem, jnp.asarray(self.lam_limbs), S)
+            rem = jnp.where(fix[None, :], rem_f, rem)
+            carry = fix.astype(jnp.uint32)
+            qf = []
+            for k in range(self.SL):
+                v = q[k] + carry
+                qf.append(v & jnp.uint32(0xFFFF))
+                carry = v >> 16
+            q = jnp.stack(qf, axis=0)
+        return rem[: self.SL], q
+
+    def endo_points(self, points: Array) -> Array:
+        """phi(P): scale the X coordinate by beta — exact on affine
+        (beta x, y) and projective (beta X : Y : Z) stacks alike."""
+        fp = self.g1.fp
+        X = fp.mont_mul(points[..., 0, :, :], jnp.asarray(self.beta_mont))
+        return jnp.concatenate(
+            [X[..., None, :, :], points[..., 1:, :, :]], axis=-3
+        )
+
+
+_GLV_CACHE: dict = {}
+
+
+def get_glv_ctx(g1: G1Ctx) -> GlvCtx:
+    ctx = _GLV_CACHE.get(g1.spec.name)
+    if ctx is None:
+        ctx = GlvCtx(g1)
+        _GLV_CACHE[g1.spec.name] = ctx
+    return ctx
+
+
+def n_windows(
+    g1: G1Ctx, c: int, signed: bool = False, nbits: Optional[int] = None
+) -> int:
     """Static window count of the bucket table (incl. the signed-carry
     window when r fills the top window exactly, e.g. FP256BN's 256-bit r)."""
-    nwin = -(-g1.nbits // c)
-    if signed and g1.nbits >= c * nwin:
+    nbits = nbits or g1.nbits
+    nwin = -(-nbits // c)
+    if signed and nbits >= c * nwin:
         nwin += 1
     return nwin
 
@@ -458,6 +609,7 @@ def bucket_table(
     K: int = 64,
     capture: str = "auto",
     _limit: Optional[int] = None,
+    nbits: Optional[int] = None,
 ) -> Array:
     """Stage 1 of Pippenger: per-window bucket sums.
 
@@ -473,13 +625,14 @@ def bucket_table(
     Affine inputs (2, L, N) are accepted directly.
     """
     assert LIMB_BITS % c == 0
+    nbits = nbits or g1.nbits
     if points.shape[-3] == 3:
         inf = g1.is_inf(points)  # (N,)
         scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
         points = g1.to_affine_rows(points)
-    nwin = -(-g1.nbits // c)
+    nwin = -(-nbits // c)
     N = points.shape[-1]
-    nwin_eff = n_windows(g1, c, signed=signed)
+    nwin_eff = n_windows(g1, c, signed=signed, nbits=nbits)
     NP = N + ((-N) % K)  # _bucket_table pads to a K multiple
     limit = _DENSE_CAPTURE_LIMIT if _limit is None else _limit
     if (
@@ -497,11 +650,11 @@ def bucket_table(
         half_limit = _DENSE_CAPTURE_LIMIT // 2
         t0 = bucket_table(
             g1, points[..., :h], scalars[..., :h], c, signed, K, capture,
-            _limit=half_limit,
+            _limit=half_limit, nbits=nbits,
         )
         t1 = bucket_table(
             g1, points[..., h:], scalars[..., h:], c, signed, K, capture,
-            _limit=half_limit,
+            _limit=half_limit, nbits=nbits,
         )
         W, B = t0.shape[-2], t0.shape[-1]
         L = t0.shape[1]
@@ -509,7 +662,7 @@ def bucket_table(
             t0.reshape(3, L, W * B), t1.reshape(3, L, W * B)
         ).reshape(3, L, W, B)
     if signed:
-        absd, neg = _signed_digits(scalars, c, nwin, nbits=g1.nbits)
+        absd, neg = _signed_digits(scalars, c, nwin, nbits=nbits)
         return _bucket_table(g1, points, absd, c, K=K, neg=neg, capture=capture)
     digits = _digits(scalars, c, nwin)  # (nwin, N)
     return _bucket_table(g1, points, digits, c, K=K, capture=capture)
@@ -557,6 +710,7 @@ def msm(
     signed: bool = False,
     K: int = 64,
     capture: str = "auto",
+    glv: bool = False,
 ) -> Array:
     """Pippenger MSM: sum_i [scalars_i] points_i.
 
@@ -572,7 +726,25 @@ def msm(
     streaming-scan chunk count knob (scan steps; lanes/step = W*N/K).
     """
     del win_chunk
-    buckets = bucket_table(g1, points, scalars, c, signed=signed, K=K, capture=capture)
+    if glv:
+        # GLV split (BLS12): 2N points with 128-bit sub-scalars — half the
+        # windows; the O(N) scan work is unchanged, the O(W*2^c) tail and
+        # the capture footprint halve.
+        gl = get_glv_ctx(g1)
+        inf = g1.is_inf(points) if points.shape[-3] == 3 else None
+        if inf is not None:
+            scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
+        k1, k2 = gl.split(scalars)
+        pts2 = jnp.concatenate([points, gl.endo_points(points)], axis=-1)
+        scs2 = jnp.concatenate([k1, k2], axis=-1)
+        buckets = bucket_table(
+            g1, pts2, scs2, c, signed=signed, K=K, capture=capture,
+            nbits=gl.nbits,
+        )
+    else:
+        buckets = bucket_table(
+            g1, points, scalars, c, signed=signed, K=K, capture=capture
+        )
     totals = window_totals(g1, buckets, c, signed=signed)  # (3, L, nwin)
     return horner_windows(g1, totals, c)
 

@@ -22,8 +22,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the heavy scan/pairing programs compile once and
-# are reused across test processes/rounds
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# are reused across test processes/rounds.  MATHLIB_TEST_CACHE overrides the
+# location (e.g. a throwaway dir to measure cold-cache behavior).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MATHLIB_TEST_CACHE", "/root/repo/.jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import random

@@ -3,6 +3,7 @@
 import random
 
 import jax
+import jax.numpy as jnp
 import pytest
 
 from mathlib_tpu.host.engine import get_engine
@@ -136,3 +137,62 @@ def test_msm_naive_oracle():
         )
     )
     assert out == eng.g1.msm(pts, ks)
+
+
+def test_glv_split_exact():
+    """Device Barrett divmod split: k == k2*lam + k1 exactly, both < 2^128,
+    for edge and random scalars (BLS12-381)."""
+    import numpy as np
+
+    from mathlib_tpu.curves.params import get_spec
+    from mathlib_tpu.ops.g1 import get_g1_ctx
+    from mathlib_tpu.ops.msm import get_glv_ctx
+
+    spec = get_spec("BLS12_381")
+    g1 = get_g1_ctx(spec)
+    gl = get_glv_ctx(g1)
+    r, lam = spec.r, gl.lam
+    import random as _r
+
+    rng = _r.Random(99)
+    ks = [0, 1, 2, lam - 1, lam, lam + 1, r - 1, r - 2, lam * lam % r] + [
+        rng.randrange(r) for _ in range(23)
+    ]
+    scs = g1.encode_scalars(ks)
+    k1, k2 = jax.jit(gl.split)(jnp.asarray(scs))
+    k1 = np.asarray(k1)
+    k2 = np.asarray(k2)
+    for i, k in enumerate(ks):
+        v1 = sum(int(k1[j, i]) << (16 * j) for j in range(k1.shape[0]))
+        v2 = sum(int(k2[j, i]) << (16 * j) for j in range(k2.shape[0]))
+        assert v1 + v2 * lam == k, f"split mismatch at {i}"
+        assert v1 < lam and v2 < (1 << 128)
+
+
+def test_msm_glv_matches_naive():
+    """GLV MSM == naive oracle (math_test.go:323-346), incl. infinity
+    inputs and edge scalars."""
+    import numpy as np
+
+    from mathlib_tpu.curves.params import get_spec
+    from mathlib_tpu.host.engine import get_engine
+    from mathlib_tpu.ops.g1 import get_g1_ctx
+    from mathlib_tpu.ops.msm import msm, msm_naive
+
+    spec = get_spec("BLS12_381")
+    g1 = get_g1_ctx(spec)
+    eng = get_engine(spec)
+    import random as _r
+
+    rng = _r.Random(5)
+    n = 64
+    pts = [eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r)) for _ in range(n - 1)]
+    pts.append(None)  # infinity input with a nonzero scalar
+    ks = [0, 1, spec.r - 1] + [rng.randrange(spec.r) for _ in range(n - 3)]
+    P = jnp.asarray(g1.encode_points(pts))
+    S = jnp.asarray(g1.encode_scalars(ks))
+    got = g1.decode_point(np.asarray(jax.jit(
+        lambda p, s: msm(g1, p, s, c=4, glv=True))(P, S)))
+    want = g1.decode_point(np.asarray(jax.jit(
+        lambda p, s: msm_naive(g1, p, s))(P, S)))
+    assert got == want
