@@ -357,12 +357,17 @@ class FpCtx:
                 jnp.asarray(self.one_mont), a.shape[:-1] + (P2 - N,)
             )
             cur = jnp.concatenate([cur, pad], axis=-1)
-        # up-sweep: pairwise products
+        # up-sweep: pairwise products, stopping at a lane cutoff — each
+        # tree level is a separate (relayout-heavy) device op, so taking
+        # the tree all the way to 1 lane costs ~40 latency-bound levels at
+        # 2^20; one 2048-lane pow chain (a single fused kernel launch on
+        # TPU) replaces the last 11 up + 11 down levels
+        cutoff = 2048
         levels = [cur]
-        while levels[-1].shape[-1] > 1:
+        while levels[-1].shape[-1] > min(cutoff, P2):
             c = levels[-1]
             levels.append(self.mont_mul(c[..., 0::2], c[..., 1::2]))
-        inv = self.inv(levels[-1])  # (..., L, 1)
+        inv = self.inv(levels[-1])  # (..., L, <=cutoff)
         # down-sweep: child_inv = parent_inv * sibling
         for c in reversed(levels[:-1]):
             m = c.shape[-1]

@@ -89,6 +89,20 @@ class G1Ctx:
         """List of N host points -> (3, L, N)."""
         return np.concatenate([self.encode_point(P) for P in pts], axis=-1)
 
+    def encode_points_affine(self, pts) -> np.ndarray:
+        """List of N host affine points -> (2, L, N) affine rows.
+
+        Infinity encodes as (0, 0); MSM callers must zero its scalars
+        (the affine bucket pipeline has no absorbing representation)."""
+        L = self.fp.L
+        out = np.zeros((2, L, len(pts)), dtype=np.uint32)
+        for i, P in enumerate(pts):
+            if P is None:
+                continue
+            out[0, :, i] = self.fp.encode(P[0])[:, 0]
+            out[1, :, i] = self.fp.encode(P[1])[:, 0]
+        return out
+
     def decode_point(self, arr) -> Optional[Tuple[int, int]]:
         """(3, L) / (3, L, 1) projective -> affine host point or None."""
         arr = np.asarray(arr)

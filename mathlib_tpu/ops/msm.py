@@ -235,12 +235,19 @@ def _bucket_table(
     negs_t = to_steps(negs) if signed else None
 
     # point-major copy for the streaming gather: one row = one point
-    # (affine rows when mixed: 2L words instead of 3L)
+    # (affine rows when mixed: 2L words instead of 3L).  Rows are padded
+    # up to 64 words: XLA's row gather is per-row bound and width-flat
+    # from 64 to 128 words, but 4.3x SLOWER below 64 (measured on v5e) —
+    # this is what makes BN254's 48-word projective rows gather fast.
     points_rows = jnp.asarray(points).reshape(RP, N).T  # (N, RP)
+    row_pad = max(0, 64 - RP)
+    if row_pad:
+        points_rows = jnp.pad(points_rows, [(0, 0), (0, row_pad)])
     inf_row = jnp.asarray(g1.inf).reshape(R)
 
     def combine(cp, rows_gathered, sel, ng):
         """One segmented-scan step on freshly gathered point rows."""
+        rows_gathered = rows_gathered[:, :RP]
         p = rows_gathered.T.reshape(points.shape[-3], L, rows_gathered.shape[0])
         if mixed:
             if signed:
@@ -618,18 +625,18 @@ def bucket_table(
     multi-chip MSM (parallel/msm.py) can shard the O(N) bucket
     accumulation over points and reduce bucket *tables* over ICI.
 
-    Projective inputs (3, L, N) are converted ONCE to affine rows (one
-    parallel batch inversion) so every scan-step gather moves 2L words
-    instead of 3L and the combiner is the cheaper mixed add; infinity
-    inputs keep exact semantics by zeroing their scalars ([k]inf = inf).
-    Affine inputs (2, L, N) are accepted directly.
+    Points may be projective (3, L, N) — complete-add combiner, infinity
+    absorbing — or affine rows (2, L, N) from an affine source (e.g. the
+    API bridge): the scan then uses the cheaper RCB mixed add; affine
+    callers must zero the scalars of any infinity inputs themselves.
+    (Converting projective inputs to affine inside the MSM was measured a
+    net LOSS at 2^20 on v5e: the point-row gather is per-row bound and
+    width-flat from 64 to 128 words, so shrinking rows 72 -> 48 saves no
+    gather time — 48-word rows are in fact 4.3x slower — while the batch
+    inversion costs real time.)
     """
     assert LIMB_BITS % c == 0
     nbits = nbits or g1.nbits
-    if points.shape[-3] == 3:
-        inf = g1.is_inf(points)  # (N,)
-        scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
-        points = g1.to_affine_rows(points)
     nwin = -(-nbits // c)
     N = points.shape[-1]
     nwin_eff = n_windows(g1, c, signed=signed, nbits=nbits)
@@ -731,8 +738,10 @@ def msm(
         # windows; the O(N) scan work is unchanged, the O(W*2^c) tail and
         # the capture footprint halve.
         gl = get_glv_ctx(g1)
-        inf = g1.is_inf(points) if points.shape[-3] == 3 else None
-        if inf is not None:
+        if points.shape[-3] == 3:
+            # [k]inf = inf: zero the scalar so both GLV halves vanish
+            # (phi of the (0:1:0) infinity stays absorbing regardless)
+            inf = g1.is_inf(points)
             scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
         k1, k2 = gl.split(scalars)
         pts2 = jnp.concatenate([points, gl.endo_points(points)], axis=-1)
@@ -802,8 +811,15 @@ def msm_host_bridge(spec, points, scalars):
     g1 = get_g1_ctx(spec)
     n = len(points)
     n_pad = 1 << max(6, (n - 1).bit_length())
-    pts = g1.encode_points(list(points) + [None] * (n_pad - n))
-    scs = g1.encode_scalars(list(scalars) + [0] * (n_pad - n))
+    pts_l = list(points) + [None] * (n_pad - n)
+    # affine inputs ride the mixed-add scan (one fewer mul per combine);
+    # infinity entries get their scalars zeroed ([k]inf = inf)
+    scs_l = [
+        0 if P is None else int(s)
+        for P, s in zip(pts_l, list(scalars) + [0] * (n_pad - n))
+    ]
+    pts = g1.encode_points_affine(pts_l)
+    scs = g1.encode_scalars(scs_l)
     c = auto_window(n_pad, g1.nbits)
     out = _bridge_fn(spec.name, g1, n_pad, c)(pts, scs)
     return g1.decode_point(np.asarray(out))

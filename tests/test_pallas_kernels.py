@@ -42,7 +42,13 @@ def _moduli():
     out = []
     for name in CURVES:
         s = get_spec(name)
-        out.append(pytest.param(s.p, id=name + "_fp"))
+        # interpret-mode pallas_call execution cost grows steeply with L:
+        # the two 381-bit moduli take ~9 min each cold on XLA:CPU, so they
+        # ride the slow lane; the 4 smaller moduli keep interpret-mode
+        # plumbing coverage in the default run (the in-kernel MATH is
+        # covered for every modulus by the numpy-shim tests below).
+        marks = [pytest.mark.slow] if s.p.bit_length() > 300 else []
+        out.append(pytest.param(s.p, id=name + "_fp", marks=marks))
         out.append(pytest.param(s.r, id=name + "_fr"))
     return out
 
