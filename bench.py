@@ -19,7 +19,8 @@ the bench refuses to print a number if the production kernels disagree.
 
 Env knobs: MATHLIB_BENCH_LOGN (default 20), MATHLIB_BENCH_C (window bits,
 default 16), MATHLIB_BENCH_CAPTURE (bucket capture: auto|dense|scatter),
-MATHLIB_BENCH_K (scan step count, default 64).
+MATHLIB_BENCH_K (scan step count, default 64), MATHLIB_BENCH_GLV
+(1 = endomorphism-split scalars, half the windows).
 """
 
 import json
@@ -48,6 +49,7 @@ def main() -> None:
     c = int(os.environ.get("MATHLIB_BENCH_C", "16"))
     capture = os.environ.get("MATHLIB_BENCH_CAPTURE", "auto")
     K = int(os.environ.get("MATHLIB_BENCH_K", "64"))
+    glv = os.environ.get("MATHLIB_BENCH_GLV", "0") == "1"
     n = 1 << logn
 
     spec = get_spec("BLS12_381")
@@ -79,9 +81,9 @@ def main() -> None:
     )
     got = g1.decode_point(
         np.asarray(
-            jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K))(
-                pts0, scs0
-            )
+            jax.jit(
+                lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K, glv=glv)
+            )(pts0, scs0)
         )
     )
     assert got == want, (
@@ -111,7 +113,7 @@ def main() -> None:
     points = jnp.tile(base, (1, 1, reps))[..., :n]
     scalars = jnp.asarray(rand_scalars(n))
 
-    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K))
+    f = jax.jit(lambda p, s: msm(g1, p, s, c=c, capture=capture, K=K, glv=glv))
     r = f(points, scalars)
     np.asarray(r)  # compile + warm (also forces completion)
 
