@@ -71,8 +71,13 @@ class BatchEngine:
     def g1_scalar_mul(self, points, scalars) -> List:
         P = self.g1.encode_points(points)
         S = self.g1.encode_scalars([int(s) for s in scalars])
-        f = self._cached("g1_smul", self.g1.scalar_mul)
-        return self.g1.decode_points(f(P, S))
+        # affinize ON DEVICE (tree batch inversion, one pow-chain launch)
+        # so host decode does no per-point modular inverse
+        f = self._cached(
+            "g1_smul_aff",
+            lambda p, s: self.g1.to_affine_rows(self.g1.scalar_mul(p, s)),
+        )
+        return self.g1.decode_points_affine(f(P, S))
 
     # ------------------------------------------------------------- G2 -------
     def g2_scalar_mul(self, points, scalars) -> List:
@@ -160,8 +165,11 @@ class BatchEngine:
         if self._device_hash_ctx() is not None:
             H = self.hash_to_g1_batch(messages, dst)
             S = self.g1.encode_scalars([sk] * len(messages))
-            f = self._cached("g1_smul", self.g1.scalar_mul)
-            return self.g1.decode_points(f(H, jnp.asarray(S)))
+            f = self._cached(
+                "g1_smul_aff",
+                lambda p, s: self.g1.to_affine_rows(self.g1.scalar_mul(p, s)),
+            )
+            return self.g1.decode_points_affine(f(H, jnp.asarray(S)))
         hasher = get_hasher(self.spec)
         pts = [hasher.hash_to_g1(m, dst) for m in messages]
         return self.g1_scalar_mul(pts, [sk] * len(pts))

@@ -122,9 +122,25 @@ class G1Ctx:
                 X, Y, Z = blk[0][i], blk[1][i], blk[2][i]
                 if Z == 0:
                     out.append(None)
+                elif Z == 1:
+                    out.append((X, Y))
                 else:
                     zi = pow(Z, p - 2, p)
                     out.append((X * zi % p, Y * zi % p))
+        return out
+
+    def decode_points_affine(self, xy) -> list:
+        """Device to_affine output (..., 2, L, B) -> host points; (0, 0)
+        decodes to infinity (not a curve point for b != 0 curves).  Host
+        cost is limb recomposition only — no per-point modular inverse."""
+        arr = np.asarray(xy)
+        coords = self.fp.decode(arr)  # (..., 2, B) object
+        flat = coords.reshape(-1, 2, coords.shape[-1])
+        out = []
+        for blk in flat:
+            for i in range(blk.shape[-1]):
+                X, Y = blk[0][i], blk[1][i]
+                out.append(None if X == 0 and Y == 0 else (X, Y))
         return out
 
     def encode_scalars(self, scalars) -> np.ndarray:
@@ -261,8 +277,18 @@ class G1Ctx:
     def scalar_mul(self, P: Array, scalars: Array) -> Array:
         """[k]P, batched; fixed trip count = r.bit_length() (constant-time
         shape, like the double-and-add at driver/kilic/bls12-381.go:40-50
-        but with no data-dependent branching)."""
+        but with no data-dependent branching).
+
+        On TPU the ENTIRE ladder runs as one fused kernel launch (the
+        accumulator never leaves VMEM) instead of nbits dbl_add_select
+        launches."""
         nbits = self.nbits
+        if field._pallas_enabled():
+            from .kernels.g1_pallas import smul_pallas
+
+            return smul_pallas(
+                self.spec.p, self.fp.L, self.F.b3, P, scalars, nbits
+            )
         acc0 = jnp.broadcast_to(jnp.asarray(self.inf), self._acc_shape(P, scalars))
 
         def body(acc, t):

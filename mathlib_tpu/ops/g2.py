@@ -211,7 +211,16 @@ class G2Ctx:
         return (word >> shift) & 1
 
     def scalar_mul(self, P: Array, scalars: Array) -> Array:
+        from .field import _pallas_enabled
+
         nbits = self.nbits
+        if self._pallas_b3 and _pallas_enabled():
+            # whole ladder in ONE fused kernel launch
+            from .kernels.g2_pallas import g2_smul_pallas
+
+            return g2_smul_pallas(
+                self.spec.p, self.fp.L, self._pallas_b3, P, scalars, nbits
+            )
         lanes = jnp.broadcast_shapes(P.shape[-1:], scalars.shape[-1:])
         lead = jnp.broadcast_shapes(P.shape[:-4], scalars.shape[:-2])
         acc0 = jnp.broadcast_to(

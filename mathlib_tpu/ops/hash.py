@@ -158,9 +158,21 @@ class HashG1Ctx:
 
     # ------------------------------------------------------------- cofactor --
     def clear_cofactor(self, P: Array) -> Array:
-        """[h_eff] P by double-and-add over the static cofactor bits."""
+        """[h_eff] P by double-and-add over the static cofactor bits.
+
+        On TPU the whole ladder is ONE fused kernel launch (the add runs
+        only at the ~7 one-bits, under pl.when)."""
         if len(self.h_bits) == 1 and self.h_bits[0] == 1 and not self.h_neg:
             return P
+        from .field import _pallas_enabled
+
+        if _pallas_enabled():
+            from .kernels.g1_pallas import smul_static_pallas
+
+            acc = smul_static_pallas(
+                self.spec.p, self.fp.L, self.g1.F.b3, P, self.h_bits
+            )
+            return self.g1.neg(acc) if self.h_neg else acc
         acc = P
 
         def body(a, bit):
@@ -354,8 +366,18 @@ class HashG2Ctx:
 
     # ------------------------------------------------------------- cofactor --
     def _mul_bits(self, P: Array, bits, negate: bool) -> Array:
-        """[k] P by a double/add/select scan over static MSB-first bits."""
+        """[k] P by a double/add/select ladder over static MSB-first bits
+        (one fused kernel launch on TPU)."""
+        from .field import _pallas_enabled
+
         g2 = self.g2
+        if g2._pallas_b3 and _pallas_enabled():
+            from .kernels.g2_pallas import g2_smul_static_pallas
+
+            acc = g2_smul_static_pallas(
+                self.spec.p, self.fp.L, g2._pallas_b3, P, bits
+            )
+            return g2.neg(acc) if negate else acc
         acc = P
 
         def body(a, bit):

@@ -443,3 +443,199 @@ def maddselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
     s3 = _sel_tiles(sel, P)
     n3 = _sel_tiles(neg, P)
     return restore(_build(p, L, b3, "maddselneg", interpret)(P3, Q3, s3, n3))
+
+
+# ---------------------------------------------------------------------------
+# fused scalar-mul chain kernels: the ENTIRE double-and-add ladder in one
+# launch (acc lives in VMEM across all bits), replacing nbits separate
+# dbl_add_select launches.  Backs G1Ctx.scalar_mul (the reference ladder at
+# driver/kilic/bls12-381.go:40-50) and the hash-to-curve cofactor clearing.
+# ---------------------------------------------------------------------------
+
+
+def _rcb_add_rows(F, b3, P, Q):
+    """RCB Alg 7 complete addition on row triples (shared by chain kernels)."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    ln = F.sub(ln, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
+    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
+    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    return AX, AY, AZ
+
+
+def _rcb_dbl_rows(F, b3, P):
+    """RCB Alg 9 exception-free doubling on row triples."""
+    X1, Y1, Z1 = P
+    t0 = F.mul(Y1, Y1)
+    z3t = F.mul_small(t0, 8)
+    t1 = F.mul(Y1, Z1)
+    t2 = F.mul_small(F.mul(Z1, Z1), b3)
+    y3t = F.add(t0, t2)
+    t2_3 = F.add(F.add(t2, t2), t2)
+    t0m = F.sub(t0, t2_3)
+    DX = F.mul(t0m, F.mul(X1, Y1))
+    DX = F.add(DX, DX)
+    DY = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
+    DZ = F.mul(t1, z3t)
+    return DX, DY, DZ
+
+
+def _smul_kernel(
+    ctx: RowCtx, b3: int, one_limbs, nbits: int, s_ref, q_ref, o_ref
+):
+    """out = [k] Q with per-lane scalars (dynamic bits), Q projective.
+
+    s_ref: (S, TS, 128) plain 16-bit scalar limbs.  The body is RCB
+    double + complete add + per-lane select; acc starts at infinity, so
+    the ladder is exception-free for every scalar and point (incl. Q at
+    infinity).
+    """
+    F = ctx
+    L = ctx.L
+    Q = _read_point(q_ref, L)
+    zero = [jnp.zeros_like(Q[0][0])] * L
+    one = [jnp.full_like(Q[0][0], v) for v in one_limbs]
+
+    def body(i, acc):
+        D = _rcb_dbl_rows(F, b3, acc)
+        AX, AY, AZ = _rcb_add_rows(F, b3, D, Q)
+        idx = nbits - 1 - i
+        word = s_ref[idx // 16]
+        bit = ((word >> (idx % 16)) & 1) != 0
+        return (
+            [jnp.where(bit, AX[k], D[0][k]) for k in range(L)],
+            [jnp.where(bit, AY[k], D[1][k]) for k in range(L)],
+            [jnp.where(bit, AZ[k], D[2][k]) for k in range(L)],
+        )
+
+    acc = jax.lax.fori_loop(0, nbits, body, (list(zero), list(one), list(zero)))
+    _write_point(o_ref, acc, L)
+
+
+def _smul_static_kernel(
+    ctx: RowCtx, b3: int, one_limbs, nbits: int, bits_ref, q_ref, o_ref
+):
+    """out = [k] Q (projective) for ONE static scalar (SMEM bits,
+    MSB-first): the double runs every step, the complete add only under
+    pl.when(bit) — the cofactor-clearing shape (h_eff has tiny weight)."""
+    F = ctx
+    L = ctx.L
+    Q = _read_point(q_ref, L)
+    zero = [jnp.zeros_like(Q[0][0])] * L
+    one = [jnp.full_like(Q[0][0], v) for v in one_limbs]
+    _write_point(o_ref, (zero, one, zero), L)
+
+    def body(i, _):
+        acc = _read_point(o_ref, L)
+        _write_point(o_ref, _rcb_dbl_rows(F, b3, acc), L)
+
+        @pl.when(bits_ref[i] != 0)
+        def _():
+            acc = _read_point(o_ref, L)
+            _write_point(o_ref, _rcb_add_rows(F, b3, acc, Q), L)
+
+        return 0
+
+    jax.lax.fori_loop(0, nbits, body, 0)
+
+
+@lru_cache(maxsize=None)
+def _build_smul(p: int, L: int, b3: int, nbits: int, S: int, interpret: bool):
+    from jax.experimental.pallas import tpu as _pltpu
+
+    ctx = RowCtx(p, L)
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    kernel = partial(_smul_kernel, ctx, b3, one_limbs, nbits)
+    sspec = pl.BlockSpec(
+        (S, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+    )
+
+    @jax.jit
+    def run(s, q):
+        M = q.shape[2]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3, L, M, 128), jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[sspec, _point_spec(L)],
+            out_specs=_point_spec(L),
+            interpret=interpret,
+            compiler_params=None
+            if interpret
+            else _pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )(s, q)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _build_smul_static(p: int, L: int, b3: int, nbits: int, interpret: bool):
+    from jax.experimental.pallas import tpu as _pltpu
+
+    ctx = RowCtx(p, L)
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    kernel = partial(_smul_static_kernel, ctx, b3, one_limbs, nbits)
+    bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, q):
+        M = q.shape[2]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3, L, M, 128), jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[bits_spec, _point_spec(L)],
+            out_specs=_point_spec(L),
+            interpret=interpret,
+            compiler_params=None
+            if interpret
+            else _pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )(bits, q)
+
+    return run
+
+
+def smul_pallas(p, L, b3, Q, scalars, nbits, interpret=False):
+    """[k] Q for projective Q (..., 3, L, B) and per-lane scalars
+    (..., S, B); whole ladder in one launch."""
+    lanes = jnp.broadcast_shapes(Q.shape[-1:], scalars.shape[-1:])
+    lead = jnp.broadcast_shapes(Q.shape[:-3], scalars.shape[:-2])
+    Q = jnp.broadcast_to(Q, lead + (3,) + Q.shape[-2:-1] + lanes)
+    S = scalars.shape[-2]
+    scalars = jnp.broadcast_to(scalars, lead + (S,) + lanes)
+    Q3, _restore = _to_tiles(Q)
+    s2 = jnp.moveaxis(scalars, -2, 0).reshape(S, -1)
+    tot = s2.shape[-1]
+    pad = (-tot) % TILE
+    if pad:
+        s2 = jnp.pad(s2, [(0, 0), (0, pad)])
+    s3 = s2.reshape(S, -1, 128)
+    out = _build_smul(p, L, b3, nbits, S, interpret)(s3, Q3)
+    M = out.shape[2]
+    out = out.reshape(3, L, M * 128)[..., :tot]
+    res = out.reshape((3, L) + lead + lanes)
+    return jnp.moveaxis(res, (0, 1), (-3, -2))
+
+
+def smul_static_pallas(p, L, b3, Q, bits, interpret=False):
+    """[k] Q (projective) for a static MSB-first bit array (cofactors)."""
+    Q3, restore = _to_tiles(Q)
+    bits_arr = jnp.asarray(np.asarray(bits, dtype=np.uint32))
+    out = _build_smul_static(p, L, b3, len(bits), interpret)(bits_arr, Q3)
+    return restore(out)

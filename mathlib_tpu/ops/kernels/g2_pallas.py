@@ -19,6 +19,7 @@ from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -286,3 +287,138 @@ def dblsel_pallas(p, L, b3, P, Q, sel, interpret=False):
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
     return restore(_build(p, L, b3, "dblsel", interpret)(P3, Q3, s3))
+
+
+# ---------------------------------------------------------------------------
+# fused G2 scalar-mul chain kernels (whole ladder per launch) — the G2
+# analogue of g1_pallas._smul_kernel; backs G2Ctx.scalar_mul and the
+# hash-to-G2 endomorphism cofactor ladders.
+# ---------------------------------------------------------------------------
+
+
+def _g2_smul_kernel(
+    F: Row2Ctx, one_limbs, nbits: int, s_ref, q_ref, o_ref
+):
+    """out = [k] Q (projective over Fp2) with per-lane scalar bits."""
+    L = F.L
+    Q = _read_point(q_ref, L)
+    zero_r = [jnp.zeros_like(Q[0][0][0]) for _ in range(L)]
+    one_r = [jnp.full_like(Q[0][0][0], v) for v in one_limbs]
+
+    def sel_pt(bit, A, D):
+        return tuple(
+            (
+                [jnp.where(bit, a[0][i], d[0][i]) for i in range(L)],
+                [jnp.where(bit, a[1][i], d[1][i]) for i in range(L)],
+            )
+            for a, d in zip(A, D)
+        )
+
+    def body(i, acc):
+        D = _rcb_double(F, acc)
+        A = _rcb_add(F, D, Q)
+        idx = nbits - 1 - i
+        word = s_ref[idx // 16]
+        bit = ((word >> (idx % 16)) & 1) != 0
+        return sel_pt(bit, A, D)
+
+    inf = (
+        (list(zero_r), list(zero_r)),
+        (list(one_r), list(zero_r)),
+        (list(zero_r), list(zero_r)),
+    )
+    acc = jax.lax.fori_loop(0, nbits, body, inf)
+    _write_point(o_ref, acc, L)
+
+
+def _g2_smul_static_kernel(
+    F: Row2Ctx, one_limbs, nbits: int, bits_ref, q_ref, o_ref
+):
+    """out = [k] Q for one static MSB-first bit array (cofactor ladders)."""
+    L = F.L
+    Q = _read_point(q_ref, L)
+    zero_r = [jnp.zeros_like(Q[0][0][0]) for _ in range(L)]
+    one_r = [jnp.full_like(Q[0][0][0], v) for v in one_limbs]
+    _write_point(
+        o_ref,
+        ((zero_r, zero_r), (one_r, zero_r), (zero_r, zero_r)),
+        L,
+    )
+
+    def body(i, _):
+        acc = _read_point(o_ref, L)
+        _write_point(o_ref, _rcb_double(F, acc), L)
+
+        @pl.when(bits_ref[i] != 0)
+        def _():
+            acc = _read_point(o_ref, L)
+            _write_point(o_ref, _rcb_add(F, acc, Q), L)
+
+        return 0
+
+    jax.lax.fori_loop(0, nbits, body, 0)
+
+
+@lru_cache(maxsize=None)
+def _build_g2_smul(
+    p: int, L: int, b3: Tuple[int, int], nbits: int, S: int, static: bool,
+    interpret: bool,
+):
+    F = Row2Ctx(p, L, b3)
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    spec = _point_spec(L)
+    if static:
+        kernel = partial(_g2_smul_static_kernel, F, one_limbs, nbits)
+        first_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        kernel = partial(_g2_smul_kernel, F, one_limbs, nbits)
+        first_spec = pl.BlockSpec(
+            (S, TILE_SUBLANES, 128), lambda g: (0, g, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    @jax.jit
+    def run(first, q):
+        M = q.shape[2]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3, 2 * L, M, 128), jnp.uint32),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[first_spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )(first, q)
+
+    return run
+
+
+def g2_smul_pallas(p, L, b3, Q, scalars, nbits, interpret=False):
+    """[k] Q for projective G2 (..., 3, 2, L, B) and per-lane scalars."""
+    lanes = jnp.broadcast_shapes(Q.shape[-1:], scalars.shape[-1:])
+    lead = jnp.broadcast_shapes(Q.shape[:-4], scalars.shape[:-2])
+    Q = jnp.broadcast_to(Q, lead + (3, 2) + Q.shape[-2:-1] + lanes)
+    S = scalars.shape[-2]
+    scalars = jnp.broadcast_to(scalars, lead + (S,) + lanes)
+    Q3, restore = _to_tiles(Q)
+    s2 = jnp.moveaxis(scalars, -2, 0).reshape(S, -1)
+    tot = s2.shape[-1]
+    pad = (-tot) % TILE
+    if pad:
+        s2 = jnp.pad(s2, [(0, 0), (0, pad)])
+    s3 = s2.reshape(S, -1, 128)
+    out = _build_g2_smul(p, L, tuple(b3), nbits, S, False, interpret)(s3, Q3)
+    return restore(out)
+
+
+def g2_smul_static_pallas(p, L, b3, Q, bits, interpret=False):
+    """[k] Q for one static MSB-first bit array."""
+    Q3, restore = _to_tiles(Q)
+    bits_arr = jnp.asarray(np.asarray(bits, dtype=np.uint32))
+    out = _build_g2_smul(
+        p, L, tuple(b3), len(bits), 0, True, interpret
+    )(bits_arr, Q3)
+    return restore(out)

@@ -303,3 +303,187 @@ def test_g2_kernel_bodies(numpy_g2_kernel_env):
         for a, b, s in zip(hostP, hostQ, sel[0])
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fused scalar-mul chain kernels (whole ladder in one launch)
+# ---------------------------------------------------------------------------
+
+
+class _FakePl2:
+    @staticmethod
+    def when(cond):
+        def deco(f):
+            if bool(cond):
+                f()
+
+        return deco
+
+
+class _FakeLax2:
+    @staticmethod
+    def fori_loop(lo, hi, body, init):
+        v = init
+        for i in range(lo, hi):
+            v = body(i, v)
+        return v
+
+
+class _FakeJax2:
+    lax = _FakeLax2
+
+
+@pytest.mark.parametrize("name", ["BLS12_381", "BN254"])
+def test_smul_chain_kernel_bodies(name, numpy_kernel_env, monkeypatch):
+    """_smul_kernel / _smul_static_kernel bodies on numpy rows vs the host
+    engine ladder, incl. k = 0, k = r-1, and Q = infinity."""
+    monkeypatch.setattr(g1p_mod, "pl", _FakePl2)
+    monkeypatch.setattr(g1p_mod, "jax", _FakeJax2)
+    spec = get_spec(name)
+    p = spec.p
+    eng = get_engine(spec)
+    fpctx = get_fp_ctx(p, "sm%d" % (p % 65521))
+    L = fpctx.L
+    b3 = (3 * spec.b) % p
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    ctx = RowCtx(p, L)
+    rng = random.Random(3)
+    nbits = spec.r.bit_length()
+
+    def enc_pt(P):
+        """host affine/None -> (3, L, 1, B=1) projective rows."""
+        if P is None:
+            vals = (0, 1, 0)
+        else:
+            vals = (P[0], P[1], 1)
+        rows = np.zeros((3, L, 1, 1), np.uint32)
+        for c, v in enumerate(vals):
+            m = (v % p) * R % p
+            for k in range(L):
+                rows[c, k, 0, 0] = (m >> (16 * k)) & 0xFFFF
+        return rows
+
+    def dec_pt(rows):
+        Rinv = pow(R, p - 2, p)
+        c = [
+            sum(int(rows[j, k, 0, 0]) << (16 * k) for k in range(L)) * Rinv % p
+            for j in range(3)
+        ]
+        if c[2] == 0:
+            return None
+        zi = pow(c[2], p - 2, p)
+        return (c[0] * zi % p, c[1] * zi % p)
+
+    G = eng.gen_g1
+    cases = [
+        (G, 0),
+        (G, 1),
+        (G, spec.r - 1),
+        (G, rng.randrange(2, spec.r)),
+        (None, rng.randrange(2, spec.r)),  # infinity base
+    ]
+    for Q, k in cases:
+        q = enc_pt(Q)
+        s = np.zeros((fpctx.L if False else (spec.r.bit_length() + 15) // 16, 1, 1), np.uint32)
+        S = s.shape[0]
+        for j in range(S):
+            s[j, 0, 0] = (k >> (16 * j)) & 0xFFFF
+        out = np.zeros_like(q)
+        g1p_mod._smul_kernel(
+            ctx, b3, one_limbs, nbits,
+            type("R", (), {"__getitem__": lambda self, i: s[i]})(),
+            type("R", (), {"__getitem__": lambda self, i: q[i]})(),
+            type("R", (), {"__getitem__": lambda self, i: out[i],
+                           "__setitem__": lambda self, i, v: out.__setitem__(i, v)})(),
+        )
+        want = None if Q is None or k == 0 else eng.g1.mul(Q, k)
+        if Q is None:
+            want = None
+        assert dec_pt(out) == want, f"smul mismatch k={k} Q={'inf' if Q is None else 'G'}"
+
+    # static-bits variant: the hash cofactor shape [h]G
+    h = abs(1 - spec.x) if spec.name.startswith("BLS12") else 7
+    bits = np.array([int(b) for b in bin(h)[2:]], dtype=np.uint32)
+    q = enc_pt(G)
+    out = np.zeros_like(q)
+    g1p_mod._smul_static_kernel(
+        ctx, b3, one_limbs, len(bits),
+        type("R", (), {"__getitem__": lambda self, i: bits[i]})(),
+        type("R", (), {"__getitem__": lambda self, i: q[i]})(),
+        type("R", (), {"__getitem__": lambda self, i: out[i],
+                       "__setitem__": lambda self, i, v: out.__setitem__(i, v)})(),
+    )
+    assert dec_pt(out) == eng.g1.mul(G, h)
+
+
+def test_g2_smul_chain_kernel_body(numpy_g2_kernel_env, monkeypatch):
+    """_g2_smul_kernel / _g2_smul_static_kernel bodies vs the host G2
+    ladder (BLS12-381), incl. k = 0 and Q = infinity."""
+    import mathlib_tpu.ops.kernels.g2_pallas as g2p_mod2
+
+    monkeypatch.setattr(g2p_mod2, "pl", _FakePl2)
+    monkeypatch.setattr(g2p_mod2, "jax", _FakeJax2)
+    from mathlib_tpu.ops.g2 import get_g2_ctx
+
+    spec = get_spec("BLS12_381")
+    g2 = get_g2_ctx(spec)
+    eng = get_engine(spec)
+    p, L = spec.p, g2.fp.L
+    F = g2p_mod2.Row2Ctx(p, L, g2._pallas_b3)
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    rng = random.Random(17)
+    nbits = spec.r.bit_length()
+
+    def enc_pt(P):
+        rows = np.zeros((3, 2 * L, 1, 1), np.uint32)
+        coords = ((0, 0), (1, 0), (0, 0)) if P is None else (P[0], P[1], (1, 0))
+        for c, (v0, v1) in enumerate(coords):
+            for j, v in enumerate((v0, v1)):
+                m = (v % p) * R % p
+                for k in range(L):
+                    rows[c, j * L + k, 0, 0] = (m >> (16 * k)) & 0xFFFF
+        return rows
+
+    def dec_pt(rows):
+        Rinv = pow(R, p - 2, p)
+        c = [
+            tuple(
+                sum(int(rows[ci, j * L + k, 0, 0]) << (16 * k) for k in range(L))
+                * Rinv % p
+                for j in range(2)
+            )
+            for ci in range(3)
+        ]
+        if c[2] == (0, 0):
+            return None
+        from mathlib_tpu.host.fields import get_tower
+
+        t = get_tower(spec)
+        zi = t.f2_inv(c[2])
+        return (t.f2_mul(c[0], zi), t.f2_mul(c[1], zi))
+
+    class _R:
+        def __init__(s, a): s.a = a
+        def __getitem__(s, i): return s.a[i]
+        def __setitem__(s, i, v): s.a[i] = v
+
+    G = eng.gen_g2
+    for Q, k in ((G, 0), (G, rng.randrange(2, spec.r)), (None, 5)):
+        q = enc_pt(Q)
+        S = (nbits + 15) // 16
+        s = np.zeros((S, 1, 1), np.uint32)
+        for j in range(S):
+            s[j, 0, 0] = (k >> (16 * j)) & 0xFFFF
+        out = np.zeros_like(q)
+        g2p_mod2._g2_smul_kernel(F, one_limbs, nbits, _R(s), _R(q), _R(out))
+        want = None if (Q is None or k == 0) else eng.g2.mul(Q, k)
+        assert dec_pt(out) == want
+
+    h = 0xD20100000001000F
+    bits = np.array([int(b) for b in bin(h)[2:]], dtype=np.uint32)
+    q = enc_pt(G)
+    out = np.zeros_like(q)
+    g2p_mod2._g2_smul_static_kernel(F, one_limbs, len(bits), _R(bits), _R(q), _R(out))
+    assert dec_pt(out) == eng.g2.mul(G, h)
