@@ -178,18 +178,41 @@ class BatchEngine:
         self, pk, signatures, messages: Sequence[bytes], dst: bytes = b""
     ) -> bool:
         """Verify all (sig_i, m_i) under G2 public key pk with one random
-        linear combination + a single 2-pairing product check."""
+        linear combination + a single 2-pairing product check.
+
+        On SSWU curves the hashes AND both weighted MSMs run on device
+        (host keeps the XMD bytes and two final affine decodes); other
+        curves use the exact host hasher."""
         import random as _random
 
-        hasher = get_hasher(self.spec)
         rng = _random.SystemRandom()
         weights = [rng.randrange(1, self.spec.r) for _ in signatures]
-        hs = [hasher.hash_to_g1(m, dst) for m in messages]
-        # S = sum w_i sig_i ; H = sum w_i H(m_i); check e(S, -G2) e(H, pk) == 1
-        S = self.g1_msm(list(signatures), weights, c=4)
-        H = self.g1_msm(hs, weights, c=4)
+        if self._device_hash_ctx() is not None:
+            H = self.hash_to_g1_batch(messages, dst)  # (3, L, N) device
+            P = jnp.asarray(self.g1.encode_points(list(signatures)))
+            W = jnp.asarray(self.g1.encode_scalars(weights))
+            from .ops.msm import auto_window
+
+            c = auto_window(len(messages), self.g1.nbits)
+            f = self._cached(
+                ("verify_msm2", c),
+                lambda h, p, w: self.g1.to_affine_rows(
+                    jnp.concatenate(
+                        [msm(self.g1, p, w, c=c), msm(self.g1, h, w, c=c)],
+                        axis=-1,
+                    )
+                ),
+            )
+            Spt, Hpt = self.g1.decode_points_affine(f(H, P, W))
+        else:
+            hasher = get_hasher(self.spec)
+            hs = [hasher.hash_to_g1(m, dst) for m in messages]
+            Spt = self.g1_msm(list(signatures), weights, c=4)
+            Hpt = self.g1_msm(hs, weights, c=4)
+        if Spt is None or Hpt is None:
+            return False
         neg_g2 = self.host.g2.neg(self.spec.g2_gen)
-        return self.pairing_product_is_one([S, H], [neg_g2, pk])
+        return self.pairing_product_is_one([Spt, Hpt], [neg_g2, pk])
 
 
 @lru_cache(maxsize=None)
