@@ -416,17 +416,41 @@ def get_hash_g2_ctx(spec: CurveSpec) -> HashG2Ctx:
 _JIT_CACHE: dict = {}
 
 
+def _uniform_len(msgs) -> int:
+    """Shared message length, or -1 if the batch mixes lengths."""
+    m = len(msgs[0])
+    return m if all(len(x) == m for x in msgs) else -1
+
+
 def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
                      hash_name: str = "sha256") -> Array:
     """Batched messages -> (3, L, N) projective G1 points on device.
 
-    Host work is exactly the RFC hash_to_field bytes (expand_message_xmd +
-    mod-p embedding); the map/isogeny/cofactor pipeline is one jitted
-    device program shared across calls of the same batch size."""
-    from ..host.hash_to_curve import hash_to_field_fp
-
+    Fast path (sha256, uniform message length): the ENTIRE pipeline —
+    expand_message_xmd, mod-p embedding, SSWU map, isogeny, cofactor —
+    is one jitted device program (ops/xmd.py); host work is numpy byte
+    packing only.  Otherwise host does the RFC hash_to_field bytes and
+    the device runs the algebraic pipeline (round-2 path)."""
     ctx = get_hash_g1_ctx(spec)
     L = 64 if spec.fp_bytes == 48 else 48
+    mlen = _uniform_len(msgs)
+    if hash_name == "sha256" and mlen >= 0:
+        from .xmd import hash_to_field_device, pack_b0_blocks
+
+        blocks0 = pack_b0_blocks(msgs, dst, 2 * L)
+        key = (spec.name, "g1xmd", mlen, len(msgs), sign, dst)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(blk):
+                u0, u1 = hash_to_field_device(ctx.fp, blk, dst, 2, L)
+                return ctx.hash_to_g1(u0, u1, sign)
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(blocks0)
+
+    from ..host.hash_to_curve import hash_to_field_fp
+
     us = [hash_to_field_fp(m, dst, spec.p, 2, L, hash_name) for m in msgs]
     u0 = ctx.fp.encode([u[0] for u in us])
     u1 = ctx.fp.encode([u[1] for u in us])
@@ -473,13 +497,30 @@ def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
                      hash_name: str = "sha256") -> Array:
     """Batched messages -> (3, 2, L, N) projective G2 points on device.
 
-    Host work is the RFC hash_to_field_fp2 bytes; SSWU map, isogeny, and
-    endomorphism cofactor clearing run as one jitted device program.
+    Fast path (sha256, uniform message length): XMD + embedding + SSWU +
+    isogeny + cofactor clearing all in one jitted device program.
     Matches host hash_to_g2 (and through it RFC 9380 J.10.1)."""
-    from ..host.hash_to_curve import hash_to_field_fp2
-
     ctx = get_hash_g2_ctx(spec)
     L = 64 if spec.fp_bytes == 48 else 48
+    mlen = _uniform_len(msgs)
+    if hash_name == "sha256" and mlen >= 0:
+        from .xmd import hash_to_field_device, pack_b0_blocks
+
+        blocks0 = pack_b0_blocks(msgs, dst, 4 * L)
+        key = (spec.name, "g2xmd", mlen, len(msgs), dst)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(blk):
+                es = hash_to_field_device(ctx.tw.fp, blk, dst, 4, L)
+                u0 = jnp.stack([es[0], es[1]], axis=0)
+                u1 = jnp.stack([es[2], es[3]], axis=0)
+                return ctx.hash_to_g2(u0, u1)
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(blocks0)
+
+    from ..host.hash_to_curve import hash_to_field_fp2
     us = [hash_to_field_fp2(m, dst, spec.p, 2, L, hash_name) for m in msgs]
     f2e = ctx.tw.f2_encode
     u0 = np.concatenate([f2e(u[0]) for u in us], axis=-1)
