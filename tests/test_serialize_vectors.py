@@ -175,12 +175,12 @@ def test_gnark_compressed_flag_bytes():
 
 def test_gt_bytes_format_frozen():
     """Gt wire format: 576 B = 12 Fp coefficients for BLS12-381 (the kilic
-    layout, driver/kilic/bls12-381.go:330-334).  No public byte vector for
-    e(G1, G2) is available offline, so this freezes the implemented
-    coefficient order against regression: the digest below was produced by
-    THIS codec (round 3) and any later reordering fails here.  The value
-    itself is cross-checked algebraically (GenGt == FExp(e(G2, G1)),
-    Gt round-trips, unity pins) in test_api_mathlib."""
+    layout, driver/kilic/bls12-381.go:330-334).  The digest below freezes
+    the round-3 bytes against regression.  Since round 4 the layout and the
+    pairing value are ALSO pinned by an algorithmically independent oracle
+    (tests/test_independent_pairing.py: polynomial-basis Fp12, integer
+    final exp, its own byte emitter) — a coefficient-order swap fails
+    there even if this digest were regenerated."""
     import hashlib
 
     k = Curves[CurveID.BLS12_381]
