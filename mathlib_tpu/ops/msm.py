@@ -788,11 +788,23 @@ def auto_window(n: int, nbits: int = 255) -> int:
     return best
 
 
-def _bridge_fn(spec_name: str, g1: G1Ctx, n_pad: int, c: int):
-    key = (spec_name, n_pad, c)
+def auto_glv(spec, n: int) -> bool:
+    """Enable the GLV split automatically in the tail-dominated regime.
+
+    Measured on v5e (BENCH_NOTES.md): +44% at 2^16 (the O(W·2^c) tail
+    dominates, and GLV halves W), -6% at 2^20 (the O(N·W) scan is
+    GLV-invariant and the split overhead loses), HBM-OOM at 2^22.  The
+    crossover sits near 2^17; BLS12 curves only (the endomorphism)."""
+    from ..curves.params import Family
+
+    return spec.family == Family.BLS12 and n <= (1 << 17)
+
+
+def _bridge_fn(spec_name: str, g1: G1Ctx, n_pad: int, c: int, glv: bool):
+    key = (spec_name, n_pad, c, glv)
     fn = _BRIDGE_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(lambda p, s: msm(g1, p, s, c=c))
+        fn = jax.jit(lambda p, s: msm(g1, p, s, c=c, glv=glv))
         _BRIDGE_CACHE[key] = fn
     return fn
 
@@ -821,5 +833,5 @@ def msm_host_bridge(spec, points, scalars):
     pts = g1.encode_points_affine(pts_l)
     scs = g1.encode_scalars(scs_l)
     c = auto_window(n_pad, g1.nbits)
-    out = _bridge_fn(spec.name, g1, n_pad, c)(pts, scs)
+    out = _bridge_fn(spec.name, g1, n_pad, c, auto_glv(spec, n_pad))(pts, scs)
     return g1.decode_point(np.asarray(out))

@@ -45,8 +45,7 @@ def init_multihost(
     rather than raised, so callers can run the same code everywhere.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
+    if _INITIALIZED:
         return False
     import os
 
@@ -56,6 +55,10 @@ def init_multihost(
         or os.path.exists("/dev/vfio")  # real TPU host: pod metadata works
     )
     if not has_env:
+        # Single-process environment.  Deliberately do NOT probe
+        # jax.process_count() here: that instantiates the backend client,
+        # after which a later jax.distributed.initialize can no longer
+        # attach (executed for real by tests/test_multihost.py).
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -69,11 +69,15 @@ def sharded_msm(
     axis: str = "data",
     c: int = 8,
     win_chunk: Optional[int] = None,
+    glv: bool = False,
 ) -> Array:
     """MSM with the N points sharded across ``mesh`` axis ``axis``.
 
     points: (3, L, N), scalars: (S, N); N (the lane axis) must divide
     evenly by the axis size.  Returns the replicated (3, L, 1) result.
+    ``glv`` applies the per-device endomorphism split (BLS12 only): the
+    local Pippenger runs on 2N half-width sub-scalars, halving the window
+    count and the per-device tail.
     """
 
     @partial(
@@ -84,7 +88,7 @@ def sharded_msm(
         check_vma=False,
     )
     def _run(pts, scs):
-        local = msm(g1, pts, scs, c=c, win_chunk=win_chunk)
+        local = msm(g1, pts, scs, c=c, win_chunk=win_chunk, glv=glv)
         return allreduce_point(g1, local, axis)
 
     return _run(points, scalars)
@@ -98,6 +102,7 @@ def sharded_msm_buckets(
     axis: str = "data",
     c: int = 8,
     signed: bool = True,
+    glv: bool = False,
 ) -> Array:
     """Bucket-parallel MSM: bucket tables reduced over ICI, bucket-sum
     tail sharded over windows (SURVEY §2 parallelism item 2).
@@ -116,12 +121,20 @@ def sharded_msm_buckets(
     this strategy wants moderate window widths (c <= 10); at c=16 the
     table rivals the input size and :func:`sharded_msm` (result
     reduction) wins.
+
+    ``glv`` applies the endomorphism split per device (BLS12 only,
+    reference seam: gnark's GLV behind bls12381/bls12-381.go:238-247):
+    128-bit sub-scalars over 2N local points HALVE the window count —
+    i.e. half the butterfly all-reduce payload and half the bucket-sum
+    tail, the two terms that bound multi-chip efficiency (SCALING.md).
     ``points``: (3, L, N); ``scalars``: (S, N); N divisible by ndev.
     """
-    from ..ops.msm import n_windows
+    from ..ops.msm import get_glv_ctx, n_windows
 
+    gl = get_glv_ctx(g1) if glv else None
+    nbits = gl.nbits if glv else None
     ndev = mesh.shape[axis]
-    nwin = n_windows(g1, c, signed)
+    nwin = n_windows(g1, c, signed, nbits=nbits)
     wpd = -(-nwin // ndev)  # windows per device (last device may pad)
     npad = ndev * wpd - nwin
 
@@ -133,7 +146,21 @@ def sharded_msm_buckets(
         check_vma=False,
     )
     def _run(pts, scs):
-        local = bucket_table(g1, pts, scs, c, signed=signed)  # (3, L, W, B)
+        if glv:
+            if pts.shape[-3] == 3:
+                # [k]inf = inf: zero the scalar so both GLV halves vanish
+                inf = g1.is_inf(pts)
+                scs_z = jnp.where(inf[None, :], jnp.uint32(0), scs)
+            else:
+                scs_z = scs
+            k1, k2 = gl.split(scs_z)
+            pts2 = jnp.concatenate([pts, gl.endo_points(pts)], axis=-1)
+            scs2 = jnp.concatenate([k1, k2], axis=-1)
+            local = bucket_table(
+                g1, pts2, scs2, c, signed=signed, nbits=nbits
+            )  # (3, L, W, B) with W halved
+        else:
+            local = bucket_table(g1, pts, scs, c, signed=signed)  # (3, L, W, B)
         L, B = local.shape[1], local.shape[-1]
         # group adds expect the (3, L, lanes) layout (coords on axis -3):
         # flatten windows*buckets onto lanes for the collective

@@ -52,6 +52,27 @@ def test_sharded_msm_buckets_matches_host(mesh8):
     assert g1.decode_point(np.asarray(out)) == want
 
 
+def test_sharded_msm_buckets_glv_matches_host(mesh8):
+    """The bucket strategy with the GLV split — the configuration
+    SCALING.md's >=80% 1->4-host efficiency claim is keyed to (VERDICT r3
+    Missing #2): half the windows means half the butterfly payload and
+    half the sharded tail.  Checked against the exact host engine."""
+    g1, pts, scalars, want = _msm_inputs(32, seed=11)
+    out = jax.jit(
+        lambda p, s: sharded_msm_buckets(g1, p, s, mesh8, c=4, glv=True)
+    )(pts, scalars)
+    assert g1.decode_point(np.asarray(out)) == want
+
+
+def test_sharded_msm_glv_matches_host(mesh8):
+    """Point-parallel strategy with the per-device GLV split."""
+    g1, pts, scalars, want = _msm_inputs(32, seed=13)
+    out = jax.jit(lambda p, s: sharded_msm(g1, p, s, mesh8, c=4, glv=True))(
+        pts, scalars
+    )
+    assert g1.decode_point(np.asarray(out)) == want
+
+
 def test_sharded_msm_with_explicit_sharding(mesh8):
     """Inputs device_put with a NamedSharding, as a real pjit caller would
     (and as the dryrun does) — same shapes as test_sharded_msm_matches_host
