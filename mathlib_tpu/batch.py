@@ -109,11 +109,18 @@ class BatchEngine:
 
     # ---------------------------------------------------------- pairing -----
     def _encode_pairs(self, g1_points, g2_points):
-        fp, tw = self.g1.fp, self.tw
-        xP = np.concatenate([fp.encode(P[0]) for P in g1_points], axis=-1)
-        yP = np.concatenate([fp.encode(P[1]) for P in g1_points], axis=-1)
-        Qx = np.concatenate([tw.f2_encode(Q[0]) for Q in g2_points], axis=-1)
-        Qy = np.concatenate([tw.f2_encode(Q[1]) for Q in g2_points], axis=-1)
+        """Affine pair lists -> device limb layouts, one vectorized encode
+        per coordinate column (a per-point encode+concatenate loop costs
+        more host time than the fused check kernel itself at 1024 pairs)."""
+        fp = self.g1.fp
+        xP = fp.encode([P[0] for P in g1_points])
+        yP = fp.encode([P[1] for P in g1_points])
+        Qx = np.stack(
+            [fp.encode([Q[0][c] for Q in g2_points]) for c in range(2)]
+        )
+        Qy = np.stack(
+            [fp.encode([Q[1][c] for Q in g2_points]) for c in range(2)]
+        )
         return xP, yP, Qx, Qy
 
     def pairing_batch(self, g1_points, g2_points) -> List:
@@ -128,8 +135,15 @@ class BatchEngine:
     def pairing_product_is_one(self, g1_points, g2_points) -> bool:
         """prod_i e(P_i, Q_i) == 1, with one shared final exponentiation —
         the fast path for BLS/BBS+ style verification (cf. kilic
-        engine.Check usage, perf_test.go:352-358)."""
+        engine.Check usage, perf_test.go:352-358).
+
+        On BLS12 curves under Mosaic this is ONE kernel dispatch (fused
+        Miller + product + final exp + unity test); other configurations
+        run the miller-batch + XLA product tree + final-exp pipeline."""
         xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
+        if self.pair.supports_fused_check:
+            f = self._cached("pair_check_fused", self.pair.product_check)
+            return bool(np.asarray(f(xP, yP, Qx, Qy)))
 
         def check(xp, yp, qx, qy):
             f = self.pair.miller_loop(xp, yp, qx, qy)

@@ -632,23 +632,9 @@ def _st_T(ref, L: int, T):
 # ---------------------------------------------------------------------------
 
 
-def _miller_kernel(
-    tw: RowTower,
-    nbits: int,
-    bits_ref,
-    xp_ref,
-    yp_ref,
-    qx_ref,
-    qy_ref,
-    f_ref,
-    t_ref,
-):
+def _miller_body(tw: RowTower, nbits: int, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref):
+    """Shared Miller-loop body: (f_ref, t_ref) <- Miller value and final T."""
     L = tw.L
-    xP = _ld(xp_ref, 0, L)
-    yP = _ld(yp_ref, 0, L)
-    Qx = _ld_f2(qx_ref, 0, L)
-    Qy = _ld_f2(qy_ref, 0, L)
-
     one = tw.one_rows(xP[0])
     zero = tw.zero_rows(xP[0])
 
@@ -680,6 +666,25 @@ def _miller_kernel(
         return 0
 
     jax.lax.fori_loop(0, nbits, body, 0)
+
+
+def _miller_kernel(
+    tw: RowTower,
+    nbits: int,
+    bits_ref,
+    xp_ref,
+    yp_ref,
+    qx_ref,
+    qy_ref,
+    f_ref,
+    t_ref,
+):
+    L = tw.L
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+    _miller_body(tw, nbits, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref)
 
 
 def _add_step_kernel(
@@ -731,7 +736,7 @@ def _f12_pow_kernel(
     jax.lax.fori_loop(0, nbits, body, 0)
 
 
-def _final_exp_kernel(
+def _final_exp_body(
     tw: RowTower,
     gammas,
     inv_nbits: int,
@@ -739,23 +744,14 @@ def _final_exp_kernel(
     x_neg: bool,
     invbits_ref,
     xbits_ref,
-    f_ref,
-    out_ref,
+    f,
     acc_ref,
     base_ref,
 ):
-    """The ENTIRE final exponentiation (BLS12, factor-3 HHT chain,
-    ops/tower.py f12_final_exp) in one launch: easy part
-    f^((p^6-1)(p^2+1)) with the in-kernel Fp12 inversion, then the hard
-    part via 5 cyclotomic x-chains kept in VMEM scratch.
-
-    Replaces ~40 XLA-level tower launches (measured as ~57 ms of fixed
-    cost per product check at 64 pairs).  Reference seam:
-    FinalExponentiation at bls12381/bls12-381.go:466-468.
-    """
+    """Final exponentiation (BLS12, factor-3 HHT chain) on a loaded f12
+    value; returns the reduced value.  acc/base are VMEM scratch for the
+    cyclotomic x-chains."""
     L = tw.L
-    f = _ld_f12(f_ref, L)
-
     # ---- easy part: t = conj(f) * inv(f); f1 = frob^2(t) * t
     fi = tw.f12_inv(f, invbits_ref, inv_nbits)
     t = tw.f12_mul(tw.f12_conj(f), fi)
@@ -795,7 +791,203 @@ def _final_exp_kernel(
         tw.f12_conj(y),
     )
     f3 = tw.f12_mul(tw.f12_sqr(f1), f1)
-    _st_f12(out_ref, L, tw.f12_mul(y, f3))
+    return tw.f12_mul(y, f3)
+
+
+def _final_exp_kernel(
+    tw: RowTower,
+    gammas,
+    inv_nbits: int,
+    x_nbits: int,
+    x_neg: bool,
+    invbits_ref,
+    xbits_ref,
+    f_ref,
+    out_ref,
+    acc_ref,
+    base_ref,
+):
+    """The ENTIRE final exponentiation (BLS12, factor-3 HHT chain,
+    ops/tower.py f12_final_exp) in one launch: easy part
+    f^((p^6-1)(p^2+1)) with the in-kernel Fp12 inversion, then the hard
+    part via 5 cyclotomic x-chains kept in VMEM scratch.
+
+    Replaces ~40 XLA-level tower launches (measured as ~57 ms of fixed
+    cost per product check at 64 pairs).  Reference seam:
+    FinalExponentiation at bls12381/bls12-381.go:466-468.
+    """
+    L = tw.L
+    f = _ld_f12(f_ref, L)
+    out = _final_exp_body(
+        tw, gammas, inv_nbits, x_nbits, x_neg, invbits_ref, xbits_ref, f,
+        acc_ref, base_ref,
+    )
+    _st_f12(out_ref, L, out)
+
+
+def _f12_map_rows(fn, f):
+    """Apply fn to every limb row of an f12 structure."""
+    return tuple(
+        tuple(
+            ([fn(r) for r in f[h][j][0]], [fn(r) for r in f[h][j][1]])
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+
+
+def _product_all_positions(tw: RowTower, f):
+    """Group-product of an f12 over all sublane x lane positions.
+
+    Rotation all-reduce: 3 sublane-axis + 7 lane-axis rotate-and-multiply
+    steps leave EVERY position holding the product of all 1024 — no
+    masked lanes, no shape changes, ~10 f12 muls total (trivial next to
+    the 63 Miller iterations)."""
+    ts = f[0][0][0][0].shape[0]
+    sh = 1
+    while sh < ts:
+        g = _f12_map_rows(lambda r, s=sh: pltpu.roll(r, s, axis=0), f)
+        f = tw.f12_mul(f, g)
+        sh *= 2
+    sh = 1
+    while sh < 128:
+        g = _f12_map_rows(lambda r, s=sh: pltpu.roll(r, s, axis=1), f)
+        f = tw.f12_mul(f, g)
+        sh *= 2
+    return f
+
+
+def _mask_pad_to_one(tw: RowTower, f, mask):
+    """Replace f with 1 at positions where mask is False (grid padding)."""
+    like = f[0][0][0][0]
+    one = tw.one_rows(like)
+    zero = tw.zero_rows(like)
+    out = []
+    for h in range(2):
+        row = []
+        for j in range(3):
+            c0, c1 = f[h][j]
+            t0 = one if (h, j) == (0, 0) else zero
+            row.append(
+                (
+                    [jnp.where(mask, c0[i], t0[i]) for i in range(tw.L)],
+                    [jnp.where(mask, c1[i], zero[i]) for i in range(tw.L)],
+                )
+            )
+        out.append(tuple(row))
+    return (out[0], out[1])
+
+
+def _is_one_flag(tw: RowTower, f):
+    """Boolean tile: f == 1 in Gt (rows canonicalized to [0, p) first)."""
+    F, L = tw.F, tw.L
+    rmp = [jnp.uint32(v) for v in F.r_minus_p]
+
+    def canon(rows):
+        w = []
+        carry = jnp.zeros_like(rows[0])
+        for k in range(L):
+            v = rows[k] + rmp[k] + carry
+            w.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        ge = carry > 0
+        return [jnp.where(ge, w[k], rows[k]) for k in range(L)]
+
+    like = f[0][0][0][0]
+    ok = jnp.ones_like(like, dtype=jnp.bool_)
+    for h in range(2):
+        for j in range(3):
+            for part in range(2):
+                rows = canon(f[h][j][part])
+                want = (
+                    tw.one_limbs
+                    if (h, j, part) == (0, 0, 0)
+                    else (0,) * L
+                )
+                for k in range(L):
+                    ok = jnp.logical_and(ok, rows[k] == jnp.uint32(want[k]))
+    return ok
+
+
+def _pairing_check_kernel(
+    tw: RowTower,
+    nbits: int,
+    gammas,
+    inv_nbits: int,
+    x_nbits: int,
+    x_neg: bool,
+    conj_end: bool,
+    bits_ref,
+    invbits_ref,
+    xbits_ref,
+    nlanes_ref,
+    xp_ref,
+    yp_ref,
+    qx_ref,
+    qy_ref,
+    ok_ref,
+    f_ref,
+    t_ref,
+    prod_ref,
+    acc_ref,
+    base_ref,
+):
+    """prod_i e(P_i, Q_i) == 1 in ONE launch (BLS12 factor-3 curves).
+
+    Per grid step: full Miller loop (f, T VMEM-resident), conjugation for
+    x < 0, padding lanes masked to 1, rotation product over all 1024
+    positions; the per-step product accumulates in scratch across the
+    sequential grid.  The LAST step runs the whole final exponentiation
+    on the accumulated product and writes the boolean tile.
+
+    This replaces the miller-kernel + XLA product tree + final-exp-kernel
+    + is-one pipeline (~15-30 dispatches) with a single kernel — the
+    multi-launch fixed cost measured as the dominant term of the 64-pair
+    BLS verify (BENCH_NOTES round 3).  Reference seam: kilic engine.Check
+    (used by the BLS verify flow, perf_test.go:352-358).
+    """
+    L = tw.L
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+    _miller_body(tw, nbits, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref)
+
+    f = _ld_f12(f_ref, L)
+    if conj_end:
+        f = tw.f12_conj(f)
+
+    # mask padded positions to the group identity before the product
+    g = pl.program_id(0)
+    like = f[0][0][0][0]
+    ts = like.shape[0]
+    pos = (
+        g * (ts * 128)
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 1)
+    )
+    f = _mask_pad_to_one(tw, f, pos < nlanes_ref[0])
+
+    f = _product_all_positions(tw, f)
+
+    @pl.when(g == 0)
+    def _():
+        _st_f12(prod_ref, L, f)
+
+    @pl.when(g > 0)
+    def _():
+        _st_f12(prod_ref, L, tw.f12_mul(_ld_f12(prod_ref, L), f))
+
+    ok_ref[...] = jnp.zeros(ok_ref.shape, ok_ref.dtype)
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        prod = _ld_f12(prod_ref, L)
+        red = _final_exp_body(
+            tw, gammas, inv_nbits, x_nbits, x_neg, invbits_ref, xbits_ref,
+            prod, acc_ref, base_ref,
+        )
+        ok_ref[...] = _is_one_flag(tw, red).astype(jnp.uint32)
 
 
 def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
@@ -981,6 +1173,98 @@ def _build_final_exp(
         )(invbits, xbits, f)
 
     return run
+
+
+@lru_cache(maxsize=None)
+def _build_pairing_check(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str, spec_name: str,
+    nbits: int, inv_nbits: int, x_nbits: int, x_neg: bool, conj_end: bool,
+    interpret: bool,
+):
+    from ...curves.params import get_spec
+
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    gammas = frob_gammas(get_spec(spec_name), p, L)
+    kernel = partial(
+        _pairing_check_kernel, tw, nbits, gammas, inv_nbits, x_nbits, x_neg,
+        conj_end,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, invbits, xbits, nlanes, xp, yp, qx, qy):
+        M = xp.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (TILE_SUBLANES, 128), jnp.uint32
+            ),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[
+                smem, smem, smem, smem,
+                _spec(L), _spec(L), _spec(2 * L), _spec(2 * L),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_SUBLANES, 128), lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((6 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+            ],
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, invbits, xbits, nlanes, xp, yp, qx, qy)
+
+    return run
+
+
+def pairing_check_pallas(
+    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False
+):
+    """prod_i e(P_i, Q_i) == 1 as ONE kernel launch; returns a scalar bool
+    array (BLS12 factor-3 curves; None signals unsupported convention).
+
+    The whole BLS/BBS+ verify pairing stage — Miller loops, product tree,
+    final exponentiation, unity test — in a single dispatch, replacing the
+    round-3 pipeline whose ~15 XLA-level launches made up most of the
+    ~48 ms fixed cost at 64 pairs (BENCH_NOTES).
+    """
+    from ...curves.params import Family
+
+    if spec.family != Family.BLS12 or spec.fexp_factor != 3:
+        return None
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = jnp.broadcast_shapes(xP.shape[-1:], Qx.shape[-1:])
+    lead = jnp.broadcast_shapes(xP.shape[:-2], Qx.shape[:-3])
+    xP = jnp.broadcast_to(xP, lead + (L,) + lanes)
+    yP = jnp.broadcast_to(yP, lead + (L,) + lanes)
+    Qx = jnp.broadcast_to(Qx, lead + (2, L) + lanes)
+    Qy = jnp.broadcast_to(Qy, lead + (2, L) + lanes)
+    xp2, tot = _flatten(jnp.moveaxis(xP, -2, 0), L)
+    yp2, _ = _flatten(jnp.moveaxis(yP, -2, 0), L)
+    qx2, _ = _flatten(
+        jnp.moveaxis(Qx, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    qy2, _ = _flatten(
+        jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes), 2 * L
+    )
+    inv_bits = np.array([int(b) for b in bin(p - 2)[2:]], dtype=np.uint32)
+    x_bits = np.array([int(b) for b in bin(abs(spec.x))[2:]], dtype=np.uint32)
+    out = _build_pairing_check(
+        p, L, beta_neg, xi0, twist, spec.name, len(bits), len(inv_bits),
+        len(x_bits), spec.x < 0, conj_end, interpret,
+    )(
+        jnp.asarray(np.asarray(bits, dtype=np.uint32)),
+        jnp.asarray(inv_bits),
+        jnp.asarray(x_bits),
+        jnp.asarray(np.array([tot], dtype=np.int32)),
+        xp2, yp2, qx2, qy2,
+    )
+    return out[0, 0] != 0
 
 
 def final_exp_pallas(spec, f, interpret=False):

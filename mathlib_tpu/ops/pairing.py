@@ -235,6 +235,32 @@ class PairingCtx:
 
         return f
 
+    @property
+    def supports_fused_check(self) -> bool:
+        """One-launch product check available (BLS12 factor-3 + Mosaic)?"""
+        from .field import _pallas_enabled
+        from ..curves.params import Family
+
+        return (
+            _pallas_enabled()
+            and self.spec.family == Family.BLS12
+            and self.spec.fexp_factor == 3
+        )
+
+    def product_check(self, xP, yP, Qx, Qy) -> Array:
+        """prod_i e(P_i, Q_i) == 1 as ONE kernel dispatch (scalar bool).
+
+        Fuses Miller loops + product tree + final exp + unity test
+        (kernels/pairing_pallas.py pairing_check_pallas); only valid when
+        ``supports_fused_check``.  The BLS/BBS+ verify hot path."""
+        from .kernels.pairing_pallas import pairing_check_pallas
+
+        out = pairing_check_pallas(
+            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end
+        )
+        assert out is not None, "fused check unsupported for this curve"
+        return out
+
     def final_exp(self, f: Array) -> Array:
         return self.tw.f12_final_exp(f)
 

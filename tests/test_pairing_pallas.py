@@ -41,6 +41,14 @@ class _Ref:
     def __setitem__(self, idx, val):
         self.arr[idx] = val
 
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    @property
+    def dtype(self):
+        return self.arr.dtype
+
 
 class _FakePl:
     """pl.when on numpy: condition is a concrete bool."""
@@ -53,6 +61,14 @@ class _FakePl:
 
         return deco
 
+    @staticmethod
+    def program_id(axis):
+        return 0
+
+    @staticmethod
+    def num_programs(axis):
+        return 1
+
 
 class _FakeLax:
     @staticmethod
@@ -62,9 +78,24 @@ class _FakeLax:
             v = body(i, v)
         return v
 
+    @staticmethod
+    def broadcasted_iota(dtype, shape, dimension):
+        n = shape[dimension]
+        ar = np.arange(n, dtype=dtype)
+        src = ar.reshape(
+            [n if d == dimension else 1 for d in range(len(shape))]
+        )
+        return np.broadcast_to(src, shape)
+
 
 class _FakeJax:
     lax = _FakeLax
+
+
+class _FakePltpu:
+    @staticmethod
+    def roll(a, shift, axis):
+        return np.roll(a, shift, axis=axis)
 
 
 @pytest.fixture
@@ -84,6 +115,7 @@ def numpy_kernel_env_full(monkeypatch):
     monkeypatch.setattr(pp_mod, "jnp", np)
     monkeypatch.setattr(pp_mod, "pl", _FakePl)
     monkeypatch.setattr(pp_mod, "jax", _FakeJax)
+    monkeypatch.setattr(pp_mod, "pltpu", _FakePltpu)
 
 
 def _cfg(spec):
@@ -591,3 +623,60 @@ def test_f12_pow_kernel_cyclo_body(name, numpy_kernel_env_full):
         for h in range(2)
     )
     assert _dec12(rows, p, L)[0] == t.f12_pow(f0, e)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["BLS12_381", pytest.param("BLS12_377", marks=pytest.mark.slow)],
+)
+def test_pairing_check_kernel_body(name, numpy_kernel_env_full):
+    """The fused one-launch pairing-check body (Miller + conj + pad mask +
+    rotation product + final exp + unity test) on numpy rows: the lane
+    tile is a full (1, 128) row (the rotation product assumes 128 lanes);
+    2 real pairs at lanes 0-1, the rest garbage masked by nlanes."""
+    spec = get_spec(name)
+    eng = get_engine(spec)
+    from mathlib_tpu.ops.pairing import get_pairing_ctx
+
+    ctx = get_pairing_ctx(spec)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    gammas = pp_mod.frob_gammas(spec, p, L)
+    rng = random.Random(5)
+    a = rng.randrange(2, spec.r)
+    P = eng.g1.mul(eng.gen_g1, a)
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r))
+    nP = eng.g1.neg(P)
+
+    def run(pairs):
+        B = 128
+        g1s = [pairs[i % len(pairs)][0] for i in range(B)]
+        g2s = [pairs[i % len(pairs)][1] for i in range(B)]
+        xp = np.stack([r[0] for r in _enc([pt[0] for pt in g1s], p, L)])[:, None, :]
+        yp = np.stack([r[0] for r in _enc([pt[1] for pt in g1s], p, L)])[:, None, :]
+        qx = _f2_to_rows(_enc2([q[0] for q in g2s], p, L), p, L)
+        qy = _f2_to_rows(_enc2([q[1] for q in g2s], p, L), p, L)
+        bits = np.asarray(ctx.loop_bits, dtype=np.uint32)
+        inv_bits = np.array([int(b) for b in bin(p - 2)[2:]], dtype=np.uint32)
+        x_bits = np.array(
+            [int(b) for b in bin(abs(spec.x))[2:]], dtype=np.uint32
+        )
+        mk = lambda rows: np.zeros((rows * L, 1, B), np.uint32)
+        ok = np.zeros((1, B), np.uint32)
+        pp_mod._pairing_check_kernel(
+            tw, len(bits), gammas, len(inv_bits), len(x_bits), spec.x < 0,
+            ctx.conj_end,
+            _Ref(bits), _Ref(inv_bits), _Ref(x_bits),
+            _Ref(np.array([len(pairs)], dtype=np.int32)),
+            _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
+            _Ref(ok), _Ref(mk(12)), _Ref(mk(6)), _Ref(mk(12)),
+            _Ref(mk(12)), _Ref(mk(12)),
+        )
+        # every position holds the same verdict after the rotation product
+        assert (ok == ok[0, 0]).all()
+        return bool(ok[0, 0])
+
+    # e(P,Q) * e(-P,Q) == 1; the 126 garbage lanes are masked out
+    assert run([(P, Q), (nP, Q)]) is True
+    # e(P,Q)^2 != 1
+    assert run([(P, Q), (P, Q)]) is False
