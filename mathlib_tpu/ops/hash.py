@@ -191,7 +191,20 @@ class HashG1Ctx:
         Computes iso(sswu(u0)) + iso(sswu(u1)) (the isogeny is a group
         homomorphism, so mapping each point separately and adding on E
         equals the host's add-on-E'-then-map) followed by the cofactor
-        clearing — byte-identical to host/hash_to_curve.py hash_to_g1."""
+        clearing — byte-identical to host/hash_to_curve.py hash_to_g1.
+
+        On TPU the ENTIRE map (both SSWU maps incl. their inversion/sqrt
+        chains, sign fix, isogeny, add, cofactor ladder) is ONE Mosaic
+        launch (kernels/hash_pallas.py); off-TPU it runs as the XLA
+        pipeline below."""
+        from .field import _pallas_enabled
+
+        if _pallas_enabled() and sign in ("parity", "be"):
+            from .kernels.hash_pallas import hash_g1_pallas
+
+            out = hash_g1_pallas(self.spec, u0, u1, sign)
+            if out is not None:
+                return out
         x0, y0 = self.sswu(u0, sign)
         x1, y1 = self.sswu(u1, sign)
         P = self.g1.add(self.iso_project(x0, y0), self.iso_project(x1, y1))

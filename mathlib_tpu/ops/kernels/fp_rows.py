@@ -41,6 +41,9 @@ class RowCtx:
         self.r_minus_2p = tuple(
             ((R - 2 * p) >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
         )
+        self.r_minus_p = tuple(
+            ((R - p) >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
+        )
         # borrow-absorbing limbs of (2p + R) for subtraction
         off = [((2 * p) >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)]
         self.sub_offset = tuple(
@@ -130,6 +133,18 @@ class RowCtx:
             a[k] + np.uint32(self.sub_offset[k]) - b[k] for k in range(self.L)
         ]
         return self._cond_sub_2p(self._ripple(t))
+
+    def canon(self, r: Rows) -> Rows:
+        """Reduce [0, 2p) rows to canonical [0, p): r - p if r >= p, via
+        r + (R - p) with overflow test (same trick as _cond_sub_2p)."""
+        w = []
+        carry = jnp.zeros_like(r[0])
+        for k in range(self.L):
+            v = r[k] + np.uint32(self.r_minus_p[k]) + carry
+            w.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        ge = carry > 0  # overflowed R  <=>  r >= p
+        return [jnp.where(ge, w[k], r[k]) for k in range(self.L)]
 
     def mul_small(self, a: Rows, n: int) -> Rows:
         """a * n for small positive n via an add chain."""

@@ -14,6 +14,7 @@ the kernel is bit-compatible with the XLA path.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -38,140 +39,178 @@ def _write_point(ref, P, L):
             ref[c, i] = P[c][i]
 
 
-def _add_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, o_ref):
-    """RCB Algorithm 7 (a=0), complete addition."""
-    F = ctx
-    L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
-    X2, Y2, Z2 = _read_point(q_ref, L)
+# ---------------------------------------------------------------------------
+# mul-many strategies: every RCB formula below routes its field multiplies
+# through one of these, taking a list of (a, b) row pairs per dependency
+# level.  `serial` runs them as independent (TS, 128) multiplies; `stacked`
+# concatenates the level along the sublane axis and runs ONE multiply on
+# (k*TS, 128) rows — k independent CIOS chains interleave in the VPU
+# pipeline instead of one dependent chain (the same transform that took the
+# pairing kernel 10x, BENCH_NOTES round 3).
+# ---------------------------------------------------------------------------
 
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
+
+def _mm_serial(F: RowCtx, pairs):
+    return [F.mul(a, b) for a, b in pairs]
+
+
+def _mm_stacked(F: RowCtx, pairs):
+    if len(pairs) == 1:
+        return [F.mul(*pairs[0])]
+    L = F.L
+    TS = pairs[0][0][0].shape[0]
+    A = [jnp.concatenate([pr[0][i] for pr in pairs], axis=0) for i in range(L)]
+    B = [jnp.concatenate([pr[1][i] for pr in pairs], axis=0) for i in range(L)]
+    O = F.mul(A, B)
+    return [
+        [o[m * TS : (m + 1) * TS] for o in O] for m in range(len(pairs))
+    ]
+
+
+def _stacked_env() -> bool:
+    return os.environ.get("MATHLIB_G1_STACKED", "0") != "0"
+
+
+# ---------------------------------------------------------------------------
+# shared RCB formulas (eprint 2015/1060, a=0) on limb rows
+# ---------------------------------------------------------------------------
+
+
+def _rcb_add_rows(F, b3, P, Q, mm=_mm_serial):
+    """RCB Alg 7 complete addition; two 6-mul dependency levels."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0, t1, t2, s3, s4, s5 = mm(
+        F,
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ],
+    )
+    t3 = F.sub(s3, F.add(t0, t1))
+    t4 = F.sub(s4, F.add(t1, t2))
+    ln = F.sub(s5, F.add(t0, t2))
     t0_3 = F.add(F.add(t0, t0), t0)
     t2b = F.mul_small(t2, b3)
     lnb = F.mul_small(ln, b3)
     z3t = F.add(t1, t2b)
     t1m = F.sub(t1, t2b)
-    X3 = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    Y3 = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    Z3 = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
-    _write_point(o_ref, (X3, Y3, Z3), L)
+    xa, xb, ya, yb, za, zb = mm(
+        F,
+        [(t3, t1m), (t4, lnb), (t1m, z3t), (lnb, t0_3), (z3t, t4), (t0_3, t3)],
+    )
+    return F.sub(xa, xb), F.add(ya, yb), F.add(za, zb)
 
 
-def _double_kernel(ctx: RowCtx, b3: int, p_ref, o_ref):
-    """RCB Algorithm 9 (a=0), exception-free doubling."""
-    F = ctx
-    L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
-
-    t0 = F.mul(Y1, Y1)
+def _rcb_dbl_rows(F, b3, P, mm=_mm_serial):
+    """RCB Alg 9 exception-free doubling; 4+4 mul levels."""
+    X1, Y1, Z1 = P
+    t0, t1, zz, xy = mm(F, [(Y1, Y1), (Y1, Z1), (Z1, Z1), (X1, Y1)])
     z3t = F.mul_small(t0, 8)
-    t1 = F.mul(Y1, Z1)
-    t2 = F.mul_small(F.mul(Z1, Z1), b3)
+    t2 = F.mul_small(zz, b3)
     y3t = F.add(t0, t2)
     t2_3 = F.add(F.add(t2, t2), t2)
     t0m = F.sub(t0, t2_3)
-    X3 = F.mul(t0m, F.mul(X1, Y1))
-    X3 = F.add(X3, X3)
-    Y3 = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
-    Z3 = F.mul(t1, z3t)
-    _write_point(o_ref, (X3, Y3, Z3), L)
+    dxa, dya, dyb, dz = mm(F, [(t0m, xy), (t2, z3t), (t0m, y3t), (t1, z3t)])
+    return F.add(dxa, dxa), F.add(dya, dyb), dz
 
 
-def _dbladd_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref):
+def _madd_rows(F, b3, P, Qa, mm=_mm_serial):
+    """RCB complete MIXED addition (Alg 7 specialized to Z2 = 1): the
+    gathered MSM point is affine, so t2 = Z1 and two cross terms collapse
+    to one mul + one add each — 11 full muls instead of 12 and a third
+    less gather traffic.  Complete in P (including infinity and P == Q);
+    Q must not be infinity (MSM sentinel lanes never reach a bucket)."""
+    X1, Y1, Z1 = P
+    X2, Y2 = Qa
+    t0, t1, s3, zy, zx = mm(
+        F,
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (Z1, Y2),
+            (Z1, X2),
+        ],
+    )
+    t3 = F.sub(s3, F.add(t0, t1))
+    t4 = F.add(zy, Y1)  # (Y1+Z1)(Y2+1) - t1 - t2
+    ln = F.add(zx, X1)
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(Z1, b3)
+    lnb = F.mul_small(ln, b3)
+    z3t = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    xa, xb, ya, yb, za, zb = mm(
+        F,
+        [(t3, t1m), (t4, lnb), (t1m, z3t), (lnb, t0_3), (z3t, t4), (t0_3, t3)],
+    )
+    return F.sub(xa, xb), F.add(ya, yb), F.add(za, zb)
+
+
+def _add_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, o_ref, *, mm=_mm_serial):
+    """RCB Algorithm 7 (a=0), complete addition."""
+    L = ctx.L
+    P = _read_point(p_ref, L)
+    Q = _read_point(q_ref, L)
+    _write_point(o_ref, _rcb_add_rows(ctx, b3, P, Q, mm), L)
+
+
+def _double_kernel(ctx: RowCtx, b3: int, p_ref, o_ref, *, mm=_mm_serial):
+    """RCB Algorithm 9 (a=0), exception-free doubling."""
+    L = ctx.L
+    P = _read_point(p_ref, L)
+    _write_point(o_ref, _rcb_dbl_rows(ctx, b3, P, mm), L)
+
+
+def _dbladd_kernel(
+    ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref, *, mm=_mm_serial
+):
     """Fused scalar-mul step: out = select(sel, 2*P + Q, 2*P).
 
     Saves a full kernel launch + point round-trip per scalar bit.
     """
     F = ctx
     L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
-
-    # double (Alg 9)
-    t0 = F.mul(Y1, Y1)
-    z3t = F.mul_small(t0, 8)
-    t1 = F.mul(Y1, Z1)
-    t2 = F.mul_small(F.mul(Z1, Z1), b3)
-    y3t = F.add(t0, t2)
-    t2_3 = F.add(F.add(t2, t2), t2)
-    t0m = F.sub(t0, t2_3)
-    DX = F.mul(t0m, F.mul(X1, Y1))
-    DX = F.add(DX, DX)
-    DY = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
-    DZ = F.mul(t1, z3t)
-
-    # add Q (Alg 7)
-    X2, Y2, Z2 = _read_point(q_ref, L)
-    t0 = F.mul(DX, X2)
-    t1 = F.mul(DY, Y2)
-    t2 = F.mul(DZ, Z2)
-    t3 = F.mul(F.add(DX, DY), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(DY, DZ), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(DX, DZ), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
-    t0_3 = F.add(F.add(t0, t0), t0)
-    t2b = F.mul_small(t2, b3)
-    lnb = F.mul_small(ln, b3)
-    z3t = F.add(t1, t2b)
-    t1m = F.sub(t1, t2b)
-    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    P = _read_point(p_ref, L)
+    D = _rcb_dbl_rows(F, b3, P, mm)
+    Q = _read_point(q_ref, L)
+    A = _rcb_add_rows(F, b3, D, Q, mm)
 
     sel = sel_ref[0] != 0  # (TS, 128) bool
     out = tuple(
-        [jnp.where(sel, A[i], D[i]) for i in range(L)]
-        for A, D in ((AX, DX), (AY, DY), (AZ, DZ))
+        [jnp.where(sel, A[c][i], D[c][i]) for i in range(L)] for c in range(3)
     )
     _write_point(o_ref, out, L)
 
 
-def _addsel_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref):
+def _addsel_kernel(
+    ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, o_ref, *, mm=_mm_serial
+):
     """Fused segmented-scan step: out = select(sel, P + Q, Q).
 
     The MSM bucket-accumulation combiner (msm._segment_scan) in one launch.
     """
     F = ctx
     L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
-    X2, Y2, Z2 = _read_point(q_ref, L)
-
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
-    t0_3 = F.add(F.add(t0, t0), t0)
-    t2b = F.mul_small(t2, b3)
-    lnb = F.mul_small(ln, b3)
-    z3t = F.add(t1, t2b)
-    t1m = F.sub(t1, t2b)
-    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    P = _read_point(p_ref, L)
+    Q = _read_point(q_ref, L)
+    A = _rcb_add_rows(F, b3, P, Q, mm)
 
     sel = sel_ref[0] != 0
     out = tuple(
-        [jnp.where(sel, A[i], B[i]) for i in range(L)]
-        for A, B in ((AX, X2), (AY, Y2), (AZ, Z2))
+        [jnp.where(sel, A[c][i], Q[c][i]) for i in range(L)] for c in range(3)
     )
     _write_point(o_ref, out, L)
 
 
-def _addselneg_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, neg_ref, o_ref):
+def _addselneg_kernel(
+    ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, neg_ref, o_ref, *, mm=_mm_serial
+):
     """out = select(sel, P + Q', Q') with Q' = (neg ? -Q : Q).
 
     The signed-digit MSM combiner (Q is the freshly gathered point): the
@@ -182,79 +221,39 @@ def _addselneg_kernel(ctx: RowCtx, b3: int, p_ref, q_ref, sel_ref, neg_ref, o_re
     """
     F = ctx
     L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
+    P = _read_point(p_ref, L)
     X2, Y2raw, Z2 = _read_point(q_ref, L)
     ng = neg_ref[0] != 0
     zero = [jnp.zeros_like(Y2raw[0])] * L
     Y2n = F.sub(zero, Y2raw)
     Y2 = [jnp.where(ng, Y2n[i], Y2raw[i]) for i in range(L)]
-
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
-    t0_3 = F.add(F.add(t0, t0), t0)
-    t2b = F.mul_small(t2, b3)
-    lnb = F.mul_small(ln, b3)
-    z3t = F.add(t1, t2b)
-    t1m = F.sub(t1, t2b)
-    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
+    Q = (X2, Y2, Z2)
+    A = _rcb_add_rows(F, b3, P, Q, mm)
 
     sel = sel_ref[0] != 0
     out = tuple(
-        [jnp.where(sel, A[i], B[i]) for i in range(L)]
-        for A, B in ((AX, X2), (AY, Y2), (AZ, Z2))
+        [jnp.where(sel, A[c][i], Q[c][i]) for i in range(L)] for c in range(3)
     )
     _write_point(o_ref, out, L)
-
-
-def _madd_common(F, b3, X1, Y1, Z1, X2, Y2):
-    """RCB complete MIXED addition (Alg 7 specialized to Z2 = 1): the
-    gathered MSM point is affine, so t2 = Z1 and two cross terms collapse
-    to one mul + one add each — 11 full muls instead of 12 and a third
-    less gather traffic.  Complete in P (including infinity and P == Q);
-    Q must not be infinity (MSM sentinel lanes never reach a bucket)."""
-    L = F.L
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = Z1
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.add(F.mul(Z1, Y2), Y1)  # (Y1+Z1)(Y2+1) - t1 - t2
-    ln = F.add(F.mul(Z1, X2), X1)
-    t0_3 = F.add(F.add(t0, t0), t0)
-    t2b = F.mul_small(t2, b3)
-    lnb = F.mul_small(ln, b3)
-    z3t = F.add(t1, t2b)
-    t1m = F.sub(t1, t2b)
-    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
-    return AX, AY, AZ
 
 
 def _read_affine(ref, L):
     return ([ref[0, i] for i in range(L)], [ref[1, i] for i in range(L)])
 
 
-def _maddsel_kernel(ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, o_ref):
+def _maddsel_kernel(
+    ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, o_ref, *, mm=_mm_serial
+):
     """out = select(sel, P + lift(Q), lift(Q)) with Q affine (2, L) rows.
 
     The mixed-add MSM segmented-scan combiner: gathers move 2L-word rows
     instead of 3L."""
     F = ctx
     L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
+    P = _read_point(p_ref, L)
     X2, Y2 = _read_affine(q_ref, L)
     one = [jnp.full_like(X2[0], v) for v in one_limbs]
-    AX, AY, AZ = _madd_common(F, b3, X1, Y1, Z1, X2, Y2)
+    AX, AY, AZ = _madd_rows(F, b3, P, (X2, Y2), mm)
     sel = sel_ref[0] != 0
     out = tuple(
         [jnp.where(sel, A[i], B[i]) for i in range(L)]
@@ -264,19 +263,20 @@ def _maddsel_kernel(ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, o_re
 
 
 def _maddselneg_kernel(
-    ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, neg_ref, o_ref
+    ctx: RowCtx, b3: int, one_limbs, p_ref, q_ref, sel_ref, neg_ref, o_ref,
+    *, mm=_mm_serial,
 ):
     """Mixed-add combiner with fused conditional negation (signed digits)."""
     F = ctx
     L = ctx.L
-    X1, Y1, Z1 = _read_point(p_ref, L)
+    P = _read_point(p_ref, L)
     X2, Y2raw = _read_affine(q_ref, L)
     ng = neg_ref[0] != 0
     zero = [jnp.zeros_like(Y2raw[0])] * L
     Y2n = F.sub(zero, Y2raw)
     Y2 = [jnp.where(ng, Y2n[i], Y2raw[i]) for i in range(L)]
     one = [jnp.full_like(X2[0], v) for v in one_limbs]
-    AX, AY, AZ = _madd_common(F, b3, X1, Y1, Z1, X2, Y2)
+    AX, AY, AZ = _madd_rows(F, b3, P, (X2, Y2), mm)
     sel = sel_ref[0] != 0
     out = tuple(
         [jnp.where(sel, A[i], B[i]) for i in range(L)]
@@ -298,7 +298,7 @@ def _affine_spec(L):
 
 
 @lru_cache(maxsize=None)
-def _build(p: int, L: int, b3: int, which: str, interpret: bool):
+def _build(p: int, L: int, b3: int, which: str, stacked: bool, interpret: bool):
     ctx = RowCtx(p, L)
     spec = _point_spec(L)
     aspec = _affine_spec(L)
@@ -307,27 +307,28 @@ def _build(p: int, L: int, b3: int, which: str, interpret: bool):
     )
     R = 1 << (16 * L)
     one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+    mm = _mm_stacked if stacked else _mm_serial
 
     if which == "add":
-        kernel = partial(_add_kernel, ctx, b3)
+        kernel = partial(_add_kernel, ctx, b3, mm=mm)
         specs = [spec, spec]
     elif which == "double":
-        kernel = partial(_double_kernel, ctx, b3)
+        kernel = partial(_double_kernel, ctx, b3, mm=mm)
         specs = [spec]
     elif which == "dbladd":
-        kernel = partial(_dbladd_kernel, ctx, b3)
+        kernel = partial(_dbladd_kernel, ctx, b3, mm=mm)
         specs = [spec, spec, sel_spec]
     elif which == "addsel":
-        kernel = partial(_addsel_kernel, ctx, b3)
+        kernel = partial(_addsel_kernel, ctx, b3, mm=mm)
         specs = [spec, spec, sel_spec]
     elif which == "addselneg":
-        kernel = partial(_addselneg_kernel, ctx, b3)
+        kernel = partial(_addselneg_kernel, ctx, b3, mm=mm)
         specs = [spec, spec, sel_spec, sel_spec]
     elif which == "maddsel":
-        kernel = partial(_maddsel_kernel, ctx, b3, one_limbs)
+        kernel = partial(_maddsel_kernel, ctx, b3, one_limbs, mm=mm)
         specs = [spec, aspec, sel_spec]
     elif which == "maddselneg":
-        kernel = partial(_maddselneg_kernel, ctx, b3, one_limbs)
+        kernel = partial(_maddselneg_kernel, ctx, b3, one_limbs, mm=mm)
         specs = [spec, aspec, sel_spec, sel_spec]
     else:  # pragma: no cover
         raise ValueError(which)
@@ -371,12 +372,12 @@ def add_pallas(p, L, b3, P, Q, interpret=False):
     P, Q = jnp.broadcast_arrays(P, Q)
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
-    return restore(_build(p, L, b3, "add", interpret)(P3, Q3))
+    return restore(_build(p, L, b3, "add", _stacked_env(), interpret)(P3, Q3))
 
 
 def double_pallas(p, L, b3, P, interpret=False):
     P3, restore = _to_tiles(P)
-    return restore(_build(p, L, b3, "double", interpret)(P3))
+    return restore(_build(p, L, b3, "double", _stacked_env(), interpret)(P3))
 
 
 def _sel_tiles(sel, P):
@@ -394,7 +395,7 @@ def dbladd_pallas(p, L, b3, P, Q, sel, interpret=False):
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
-    return restore(_build(p, L, b3, "dbladd", interpret)(P3, Q3, s3))
+    return restore(_build(p, L, b3, "dbladd", _stacked_env(), interpret)(P3, Q3, s3))
 
 
 def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
@@ -403,7 +404,7 @@ def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
-    return restore(_build(p, L, b3, "addsel", interpret)(P3, Q3, s3))
+    return restore(_build(p, L, b3, "addsel", _stacked_env(), interpret)(P3, Q3, s3))
 
 
 def addselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
@@ -413,7 +414,7 @@ def addselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
     n3 = _sel_tiles(neg, P)
-    return restore(_build(p, L, b3, "addselneg", interpret)(P3, Q3, s3, n3))
+    return restore(_build(p, L, b3, "addselneg", _stacked_env(), interpret)(P3, Q3, s3, n3))
 
 
 def _to_tiles_affine(Q):
@@ -433,7 +434,7 @@ def maddsel_pallas(p, L, b3, P, Q, sel, interpret=False):
     P3, restore = _to_tiles(P)
     Q3 = _to_tiles_affine(jnp.broadcast_to(Q, P.shape[:-3] + (2,) + P.shape[-2:]))
     s3 = _sel_tiles(sel, P)
-    return restore(_build(p, L, b3, "maddsel", interpret)(P3, Q3, s3))
+    return restore(_build(p, L, b3, "maddsel", _stacked_env(), interpret)(P3, Q3, s3))
 
 
 def maddselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
@@ -442,7 +443,7 @@ def maddselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
     Q3 = _to_tiles_affine(jnp.broadcast_to(Q, P.shape[:-3] + (2,) + P.shape[-2:]))
     s3 = _sel_tiles(sel, P)
     n3 = _sel_tiles(neg, P)
-    return restore(_build(p, L, b3, "maddselneg", interpret)(P3, Q3, s3, n3))
+    return restore(_build(p, L, b3, "maddselneg", _stacked_env(), interpret)(P3, Q3, s3, n3))
 
 
 # ---------------------------------------------------------------------------
@@ -453,49 +454,9 @@ def maddselneg_pallas(p, L, b3, P, Q, sel, neg, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _rcb_add_rows(F, b3, P, Q):
-    """RCB Alg 7 complete addition on row triples (shared by chain kernels)."""
-    X1, Y1, Z1 = P
-    X2, Y2, Z2 = Q
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
-    t0_3 = F.add(F.add(t0, t0), t0)
-    t2b = F.mul_small(t2, b3)
-    lnb = F.mul_small(ln, b3)
-    z3t = F.add(t1, t2b)
-    t1m = F.sub(t1, t2b)
-    AX = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    AY = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    AZ = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
-    return AX, AY, AZ
-
-
-def _rcb_dbl_rows(F, b3, P):
-    """RCB Alg 9 exception-free doubling on row triples."""
-    X1, Y1, Z1 = P
-    t0 = F.mul(Y1, Y1)
-    z3t = F.mul_small(t0, 8)
-    t1 = F.mul(Y1, Z1)
-    t2 = F.mul_small(F.mul(Z1, Z1), b3)
-    y3t = F.add(t0, t2)
-    t2_3 = F.add(F.add(t2, t2), t2)
-    t0m = F.sub(t0, t2_3)
-    DX = F.mul(t0m, F.mul(X1, Y1))
-    DX = F.add(DX, DX)
-    DY = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
-    DZ = F.mul(t1, z3t)
-    return DX, DY, DZ
-
-
 def _smul_kernel(
-    ctx: RowCtx, b3: int, one_limbs, nbits: int, s_ref, q_ref, o_ref
+    ctx: RowCtx, b3: int, one_limbs, nbits: int, s_ref, q_ref, o_ref,
+    *, mm=_mm_serial,
 ):
     """out = [k] Q with per-lane scalars (dynamic bits), Q projective.
 
@@ -511,8 +472,8 @@ def _smul_kernel(
     one = [jnp.full_like(Q[0][0], v) for v in one_limbs]
 
     def body(i, acc):
-        D = _rcb_dbl_rows(F, b3, acc)
-        AX, AY, AZ = _rcb_add_rows(F, b3, D, Q)
+        D = _rcb_dbl_rows(F, b3, acc, mm)
+        AX, AY, AZ = _rcb_add_rows(F, b3, D, Q, mm)
         idx = nbits - 1 - i
         word = s_ref[idx // 16]
         bit = ((word >> (idx % 16)) & 1) != 0
@@ -527,7 +488,8 @@ def _smul_kernel(
 
 
 def _smul_static_kernel(
-    ctx: RowCtx, b3: int, one_limbs, nbits: int, bits_ref, q_ref, o_ref
+    ctx: RowCtx, b3: int, one_limbs, nbits: int, bits_ref, q_ref, o_ref,
+    *, mm=_mm_serial,
 ):
     """out = [k] Q (projective) for ONE static scalar (SMEM bits,
     MSB-first): the double runs every step, the complete add only under
@@ -541,12 +503,12 @@ def _smul_static_kernel(
 
     def body(i, _):
         acc = _read_point(o_ref, L)
-        _write_point(o_ref, _rcb_dbl_rows(F, b3, acc), L)
+        _write_point(o_ref, _rcb_dbl_rows(F, b3, acc, mm), L)
 
         @pl.when(bits_ref[i] != 0)
         def _():
             acc = _read_point(o_ref, L)
-            _write_point(o_ref, _rcb_add_rows(F, b3, acc, Q), L)
+            _write_point(o_ref, _rcb_add_rows(F, b3, acc, Q, mm), L)
 
         return 0
 
@@ -554,13 +516,16 @@ def _smul_static_kernel(
 
 
 @lru_cache(maxsize=None)
-def _build_smul(p: int, L: int, b3: int, nbits: int, S: int, interpret: bool):
+def _build_smul(
+    p: int, L: int, b3: int, nbits: int, S: int, stacked: bool, interpret: bool
+):
     from jax.experimental.pallas import tpu as _pltpu
 
     ctx = RowCtx(p, L)
     R = 1 << (16 * L)
     one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
-    kernel = partial(_smul_kernel, ctx, b3, one_limbs, nbits)
+    mm = _mm_stacked if stacked else _mm_serial
+    kernel = partial(_smul_kernel, ctx, b3, one_limbs, nbits, mm=mm)
     sspec = pl.BlockSpec(
         (S, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
     )
@@ -584,13 +549,16 @@ def _build_smul(p: int, L: int, b3: int, nbits: int, S: int, interpret: bool):
 
 
 @lru_cache(maxsize=None)
-def _build_smul_static(p: int, L: int, b3: int, nbits: int, interpret: bool):
+def _build_smul_static(
+    p: int, L: int, b3: int, nbits: int, stacked: bool, interpret: bool
+):
     from jax.experimental.pallas import tpu as _pltpu
 
     ctx = RowCtx(p, L)
     R = 1 << (16 * L)
     one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
-    kernel = partial(_smul_static_kernel, ctx, b3, one_limbs, nbits)
+    mm = _mm_stacked if stacked else _mm_serial
+    kernel = partial(_smul_static_kernel, ctx, b3, one_limbs, nbits, mm=mm)
     bits_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
@@ -626,7 +594,7 @@ def smul_pallas(p, L, b3, Q, scalars, nbits, interpret=False):
     if pad:
         s2 = jnp.pad(s2, [(0, 0), (0, pad)])
     s3 = s2.reshape(S, -1, 128)
-    out = _build_smul(p, L, b3, nbits, S, interpret)(s3, Q3)
+    out = _build_smul(p, L, b3, nbits, S, _stacked_env(), interpret)(s3, Q3)
     M = out.shape[2]
     out = out.reshape(3, L, M * 128)[..., :tot]
     res = out.reshape((3, L) + lead + lanes)
@@ -637,5 +605,7 @@ def smul_static_pallas(p, L, b3, Q, bits, interpret=False):
     """[k] Q (projective) for a static MSB-first bit array (cofactors)."""
     Q3, restore = _to_tiles(Q)
     bits_arr = jnp.asarray(np.asarray(bits, dtype=np.uint32))
-    out = _build_smul_static(p, L, b3, len(bits), interpret)(bits_arr, Q3)
+    out = _build_smul_static(p, L, b3, len(bits), _stacked_env(), interpret)(
+        bits_arr, Q3
+    )
     return restore(out)

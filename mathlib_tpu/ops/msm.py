@@ -801,7 +801,11 @@ def auto_glv(spec, n: int) -> bool:
 
 
 def _bridge_fn(spec_name: str, g1: G1Ctx, n_pad: int, c: int, glv: bool):
-    key = (spec_name, n_pad, c, glv)
+    # the combiner-strategy env knob is baked in at trace time, so it is
+    # part of the cache key (tools/profile_stacked.py A/Bs it in-process)
+    from .kernels.g1_pallas import _stacked_env
+
+    key = (spec_name, n_pad, c, glv, _stacked_env())
     fn = _BRIDGE_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda p, s: msm(g1, p, s, c=c, glv=glv))

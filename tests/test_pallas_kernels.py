@@ -162,9 +162,13 @@ def _enc4(g1, pts):
     return np.asarray(g1.encode_points(pts))[:, :, None, :]
 
 
+@pytest.mark.parametrize(
+    "mm", [g1p_mod._mm_serial, g1p_mod._mm_stacked], ids=["serial", "stacked"]
+)
 @pytest.mark.parametrize("name", CURVES)
-def test_g1_kernel_bodies(name, numpy_kernel_env):
-    """All four fused RCB kernels vs the exact host group law."""
+def test_g1_kernel_bodies(name, mm, numpy_kernel_env):
+    """All four fused RCB kernels vs the exact host group law, under both
+    mul-many strategies (serial per-mul and sublane-stacked levels)."""
     g1 = get_g1_ctx(get_spec(name))
     eng = get_engine(g1.spec)
     p, L, b3 = g1.spec.p, g1.fp.L, g1.F.b3
@@ -180,7 +184,7 @@ def test_g1_kernel_bodies(name, numpy_kernel_env):
 
     def run(kernel, *refs):
         o = _Ref(np.zeros_like(P4))
-        kernel(ctx, b3, *[_Ref(r.copy()) for r in refs], o)
+        kernel(ctx, b3, *[_Ref(r.copy()) for r in refs], o, mm=mm)
         return g1.decode_points(o.arr[:, :, 0, :])
 
     addh = lambda a, b: eng.g1.add(a, b)  # noqa: E731
@@ -208,6 +212,26 @@ def test_g1_kernel_bodies(name, numpy_kernel_env):
     negh = lambda b: None if b is None else (b[0], (-b[1]) % p)  # noqa: E731
     Qn = [negh(b) if t else b for b, t in zip(hostQ, negm[0])]
     want = [addh(a, b) if s else b for a, b, s in zip(hostP, Qn, sel[0])]
+    assert got == want
+
+    # mixed-add combiners: Q affine (2, L) rows, never infinity
+    hostQa = [q if q is not None else eng.gen_g1 for q in hostQ]
+    Qa4 = np.asarray(g1.encode_points_affine(hostQa))[:, :, None, :]
+    R = 1 << (16 * L)
+    one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
+
+    def run_m(kernel, *refs):
+        o = _Ref(np.zeros_like(P4))
+        kernel(ctx, b3, one_limbs, *[_Ref(r.copy()) for r in refs], o, mm=mm)
+        return g1.decode_points(o.arr[:, :, 0, :])
+
+    got = run_m(g1p_mod._maddsel_kernel, P4, Qa4, sel)
+    want = [addh(a, b) if s else b for a, b, s in zip(hostP, hostQa, sel[0])]
+    assert got == want
+
+    got = run_m(g1p_mod._maddselneg_kernel, P4, Qa4, sel, negm)
+    Qan = [negh(b) if t else b for b, t in zip(hostQa, negm[0])]
+    want = [addh(a, b) if s else b for a, b, s in zip(hostP, Qan, sel[0])]
     assert got == want
 
 

@@ -1,0 +1,194 @@
+"""A/B the MSM combiner kernels (serial vs sublane-stacked muls) and the
+in-kernel DMA gather vs XLA's row gather, on the real TPU.
+
+VERDICT round-3 task 2: lift add_select from 24% toward >=50% of VPU
+speed-of-light and attack the 12.2 ns/row gather issue floor.  This
+script measures, in order:
+
+  1. maddsel kernel serial vs stacked (100 in-graph reps, median-of-5),
+  2. in-kernel DMA gather vs XLA take() at MSM shapes,
+  3. end-to-end MSM 2^20 under both kernel strategies.
+
+Usage: python tools/profile_stacked.py [--quick] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from mathlib_tpu.curves.params import get_spec
+from mathlib_tpu.host.engine import get_engine
+from mathlib_tpu.ops.g1 import get_g1_ctx
+
+SPEC = get_spec("BLS12_381")
+
+
+def _median_time(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def bench_combiner(rows):
+    """maddsel (the production MSM combiner) serial vs stacked."""
+    from mathlib_tpu.ops.kernels import g1_pallas as gp
+
+    g1 = get_g1_ctx(SPEC)
+    eng = get_engine(SPEC)
+    p, L, b3 = SPEC.p, g1.fp.L, g1.F.b3
+    n = 8192
+    rng = np.random.default_rng(1)
+    # random multiples of G encoded projective + affine
+    base = [eng.g1.mul(eng.gen_g1, int(k)) for k in rng.integers(1, 2**31, 8)]
+    pts = [base[i % 8] for i in range(n)]
+    P = jnp.asarray(g1.encode_points(pts))
+    Qa = jnp.asarray(g1.encode_points_affine(pts[::-1]))
+    sel = jnp.asarray(rng.integers(0, 2, n, dtype=np.uint32).astype(bool))
+
+    REPS = 100
+    for stacked in (False, True):
+        builder = gp._build(p, L, b3, "maddsel", stacked, False)
+
+        P3, restore = gp._to_tiles(P)
+        Q3 = gp._to_tiles_affine(
+            jnp.broadcast_to(Qa, P.shape[:-3] + (2,) + P.shape[-2:])
+        )
+        s3 = gp._sel_tiles(sel, P)
+
+        @jax.jit
+        def many(P3, Q3, s3):
+            def body(c, _):
+                return builder(c, Q3, s3), None
+
+            out, _ = jax.lax.scan(body, P3, None, length=REPS)
+            return out
+
+        t = _median_time(many, P3, Q3, s3) / REPS
+        rate = n / t
+        label = "stacked" if stacked else "serial"
+        # SoL model: 11 mont_mul (~4L^2 u32 ops) + ~25 add/sub (7L) per point
+        vpu_ops = 11 * 4 * L * L + 25 * 7 * L
+        ceil = 7.13e12 / vpu_ops
+        rows.append(
+            {
+                "bench": f"maddsel/{label}",
+                "n": n,
+                "ms": round(t * 1e3, 3),
+                "rate": round(rate),
+                "pct_sol": round(100 * rate / ceil, 1),
+            }
+        )
+        print(
+            f"maddsel {label:8s} {t*1e3:8.3f} ms  {rate:12,.0f} pts/s"
+            f"  ({100*rate/ceil:.1f}% of VPU SoL)",
+            flush=True,
+        )
+
+
+def bench_gather(rows):
+    """XLA row gather vs in-kernel DMA gather at the MSM scan shape."""
+    from mathlib_tpu.ops.kernels.gather_pallas import gather_rows_pallas
+
+    N, Wr = 1 << 20, 64
+    M = 1 << 18  # rows gathered per call (one scan step's worth x4)
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.integers(0, 2**32, (N, Wr), dtype=np.uint32))
+    idx = jnp.asarray(rng.integers(0, N, (M,), dtype=np.int32))
+
+    xla = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+    t = _median_time(xla, table, idx)
+    rows.append(
+        {"bench": "gather/xla", "rows": M, "ms": round(t * 1e3, 2),
+         "ns_per_row": round(t / M * 1e9, 2)}
+    )
+    print(f"gather XLA      {t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row", flush=True)
+
+    for blk in (256, 1024):
+        fn = jax.jit(lambda t_, i_, b=blk: gather_rows_pallas(t_, i_, blk=b))
+        t = _median_time(fn, table, idx)
+        got = np.asarray(fn(table, idx)[:256])
+        want = np.asarray(table)[np.asarray(idx)[:256]]
+        ok = bool(np.array_equal(got, want))
+        rows.append(
+            {"bench": f"gather/dma_blk{blk}", "rows": M,
+             "ms": round(t * 1e3, 2), "ns_per_row": round(t / M * 1e9, 2),
+             "correct": ok}
+        )
+        print(
+            f"gather DMA b{blk:<5d}{t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row"
+            f"  correct={ok}",
+            flush=True,
+        )
+
+
+def bench_msm(rows, n_log2=20):
+    """End-to-end MSM under both combiner strategies."""
+    from mathlib_tpu.ops.msm import msm_host_bridge
+
+    eng = get_engine(SPEC)
+    n = 1 << n_log2
+    rng = np.random.default_rng(3)
+    base = [eng.g1.mul(eng.gen_g1, int(k)) for k in rng.integers(1, 2**31, 64)]
+    pts = [base[i % 64] for i in range(n)]
+    scalars = [int(x) for x in rng.integers(1, SPEC.r, n)]
+
+    for stacked in ("0", "1"):
+        os.environ["MATHLIB_G1_STACKED"] = stacked
+        t0 = time.time()
+        out = msm_host_bridge(SPEC, pts, scalars)
+        t_first = time.time() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out = msm_host_bridge(SPEC, pts, scalars)
+            ts.append(time.time() - t0)
+        t = float(np.median(ts))
+        label = "stacked" if stacked == "1" else "serial"
+        rows.append(
+            {"bench": f"msm2^{n_log2}/{label}", "s": round(t, 3),
+             "pts_per_s": round(n / t)}
+        )
+        print(
+            f"MSM 2^{n_log2} {label:8s} first {t_first:6.1f}s"
+            f" steady {t:6.3f}s  {n/t:12,.0f} pts/s",
+            flush=True,
+        )
+    os.environ.pop("MATHLIB_G1_STACKED", None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--skip-msm", action="store_true")
+    args = ap.parse_args()
+    rows = []
+    bench_combiner(rows)
+    bench_gather(rows)
+    if not args.skip_msm and not args.quick:
+        bench_msm(rows)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
