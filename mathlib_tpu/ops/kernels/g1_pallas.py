@@ -50,21 +50,37 @@ def _write_point(ref, P, L):
 # ---------------------------------------------------------------------------
 
 
+# max muls stacked into one RowCtx.mul — bounds the accumulator rows so
+# the unrolled CIOS fits VMEM (same cap as pairing_pallas.MUL_CHUNK)
+_STACK_CHUNK = 12
+
+
 def _mm_serial(F: RowCtx, pairs):
     return [F.mul(a, b) for a, b in pairs]
 
 
 def _mm_stacked(F: RowCtx, pairs):
-    if len(pairs) == 1:
-        return [F.mul(*pairs[0])]
     L = F.L
-    TS = pairs[0][0][0].shape[0]
-    A = [jnp.concatenate([pr[0][i] for pr in pairs], axis=0) for i in range(L)]
-    B = [jnp.concatenate([pr[1][i] for pr in pairs], axis=0) for i in range(L)]
-    O = F.mul(A, B)
-    return [
-        [o[m * TS : (m + 1) * TS] for o in O] for m in range(len(pairs))
-    ]
+    out = []
+    for lo in range(0, len(pairs), _STACK_CHUNK):
+        chunk = pairs[lo : lo + _STACK_CHUNK]
+        if len(chunk) == 1:
+            out.append(F.mul(*chunk[0]))
+            continue
+        TS = chunk[0][0][0].shape[0]
+        A = [
+            jnp.concatenate([pr[0][i] for pr in chunk], axis=0)
+            for i in range(L)
+        ]
+        B = [
+            jnp.concatenate([pr[1][i] for pr in chunk], axis=0)
+            for i in range(L)
+        ]
+        O = F.mul(A, B)
+        out.extend(
+            [o[m * TS : (m + 1) * TS] for o in O] for m in range(len(chunk))
+        )
+    return out
 
 
 def _stacked_env() -> bool:

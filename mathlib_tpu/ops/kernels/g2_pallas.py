@@ -25,19 +25,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fp_rows import RowCtx
+from .g1_pallas import _mm_serial, _mm_stacked, _stacked_env
 
 TILE_SUBLANES = 8
 TILE = TILE_SUBLANES * 128
 
 
 class Row2Ctx:
-    """Fp2 arithmetic on pairs of limb-row vectors (beta = -1)."""
+    """Fp2 arithmetic on pairs of limb-row vectors (beta = -1).
 
-    def __init__(self, p: int, L: int, b3: Tuple[int, int]):
+    ``mul_many`` runs a LEVEL of independent Fp2 multiplies through one
+    mul-many strategy (g1_pallas): each Fp2 product is 3 Karatsuba base
+    muls, so k Fp2 muls stack into (3k*8, 128) CIOS rows under the
+    stacked strategy — the pipeline-filling transform from the pairing
+    kernel, one tower level up."""
+
+    def __init__(self, p: int, L: int, b3: Tuple[int, int], mm=_mm_serial):
         self.F = RowCtx(p, L)
         self.L = L
         assert all(0 < c < 256 or c == 0 for c in b3) and any(b3)
         self.b3 = b3
+        self.mm = mm
 
     # an Fp2 element is (rows_c0, rows_c1)
     def add(self, a, b):
@@ -48,22 +56,44 @@ class Row2Ctx:
         F = self.F
         return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
 
+    def mul_many(self, pairs):
+        """A level of independent Fp2 products (Karatsuba, u^2 = -1)."""
+        F = self.F
+        base = []
+        for a, b in pairs:
+            base.append((a[0], b[0]))
+            base.append((a[1], b[1]))
+            base.append((F.add(a[0], a[1]), F.add(b[0], b[1])))
+        outs = self.mm(F, base)
+        res = []
+        for i in range(len(pairs)):
+            t0, t1, t2 = outs[3 * i : 3 * i + 3]
+            re = F.sub(t0, t1)
+            im = F.sub(t2, F.add(t0, t1))
+            res.append((re, im))
+        return res
+
     def mul(self, a, b):
         """Karatsuba over u^2 = -1: 3 base muls."""
+        return self.mul_many([(a, b)])[0]
+
+    def sqr_many(self, items):
+        """A level of independent Fp2 squarings: 2 base muls each."""
         F = self.F
-        t0 = F.mul(a[0], b[0])
-        t1 = F.mul(a[1], b[1])
-        t2 = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
-        re = F.sub(t0, t1)
-        im = F.sub(t2, F.add(t0, t1))
-        return (re, im)
+        base = []
+        for a in items:
+            base.append((F.add(a[0], a[1]), F.sub(a[0], a[1])))
+            base.append((a[0], a[1]))
+        outs = self.mm(F, base)
+        res = []
+        for i in range(len(items)):
+            re, im = outs[2 * i : 2 * i + 2]
+            res.append((re, F.add(im, im)))
+        return res
 
     def sqr(self, a):
         """(a0+a1)(a0-a1) + 2 a0 a1 u: 2 base muls."""
-        F = self.F
-        re = F.mul(F.add(a[0], a[1]), F.sub(a[0], a[1]))
-        im = F.mul(a[0], a[1])
-        return (re, F.add(im, im))
+        return self.sqr_many([a])[0]
 
     def mul_b3(self, a):
         """a * (c0 + c1 u) for the small twist constant 3*b2."""
@@ -102,44 +132,49 @@ def _write_point(ref, P, L):
 
 
 def _rcb_add(F: Row2Ctx, P, Q):
-    """RCB Algorithm 7 (a=0) over Fp2."""
+    """RCB Algorithm 7 (a=0) over Fp2; two 6-mul dependency levels."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-    t3 = F.sub(t3, F.add(t0, t1))
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-    t4 = F.sub(t4, F.add(t1, t2))
-    ln = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-    ln = F.sub(ln, F.add(t0, t2))
+    t0, t1, t2, s3, s4, s5 = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ]
+    )
+    t3 = F.sub(s3, F.add(t0, t1))
+    t4 = F.sub(s4, F.add(t1, t2))
+    ln = F.sub(s5, F.add(t0, t2))
     t0_3 = F.add(F.add(t0, t0), t0)
     t2b = F.mul_b3(t2)
     lnb = F.mul_b3(ln)
     z3t = F.add(t1, t2b)
     t1m = F.sub(t1, t2b)
-    X3 = F.sub(F.mul(t3, t1m), F.mul(t4, lnb))
-    Y3 = F.add(F.mul(t1m, z3t), F.mul(lnb, t0_3))
-    Z3 = F.add(F.mul(z3t, t4), F.mul(t0_3, t3))
-    return (X3, Y3, Z3)
+    xa, xb, ya, yb, za, zb = F.mul_many(
+        [(t3, t1m), (t4, lnb), (t1m, z3t), (lnb, t0_3), (z3t, t4), (t0_3, t3)]
+    )
+    return (F.sub(xa, xb), F.add(ya, yb), F.add(za, zb))
 
 
 def _rcb_double(F: Row2Ctx, P):
-    """RCB Algorithm 9 (a=0) over Fp2."""
+    """RCB Algorithm 9 (a=0) over Fp2; 4+4 mul levels (squares ride the
+    general Karatsuba so each level is ONE stacked call)."""
     X1, Y1, Z1 = P
-    t0 = F.sqr(Y1)
+    t0, t1, zz, xy = F.mul_many(
+        [(Y1, Y1), (Y1, Z1), (Z1, Z1), (X1, Y1)]
+    )
     z3t = (F.F.mul_small(t0[0], 8), F.F.mul_small(t0[1], 8))
-    t1 = F.mul(Y1, Z1)
-    t2 = F.mul_b3(F.sqr(Z1))
+    t2 = F.mul_b3(zz)
     y3t = F.add(t0, t2)
     t2_3 = F.add(F.add(t2, t2), t2)
     t0m = F.sub(t0, t2_3)
-    X3 = F.mul(t0m, F.mul(X1, Y1))
-    X3 = F.add(X3, X3)
-    Y3 = F.add(F.mul(t2, z3t), F.mul(t0m, y3t))
-    Z3 = F.mul(t1, z3t)
-    return (X3, Y3, Z3)
+    dxa, dya, dyb, dz = F.mul_many(
+        [(t0m, xy), (t2, z3t), (t0m, y3t), (t1, z3t)]
+    )
+    return (F.add(dxa, dxa), F.add(dya, dyb), dz)
 
 
 def _add_kernel(F: Row2Ctx, p_ref, q_ref, o_ref):
@@ -192,8 +227,11 @@ def _point_spec(L):
 
 
 @lru_cache(maxsize=None)
-def _build(p: int, L: int, b3: Tuple[int, int], which: str, interpret: bool):
-    F = Row2Ctx(p, L, b3)
+def _build(
+    p: int, L: int, b3: Tuple[int, int], which: str, stacked: bool,
+    interpret: bool,
+):
+    F = Row2Ctx(p, L, b3, _mm_stacked if stacked else _mm_serial)
     spec = _point_spec(L)
     sel_spec = pl.BlockSpec(
         (1, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
@@ -265,12 +303,12 @@ def add_pallas(p, L, b3, P, Q, interpret=False):
     P, Q = jnp.broadcast_arrays(P, Q)
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
-    return restore(_build(p, L, b3, "add", interpret)(P3, Q3))
+    return restore(_build(p, L, b3, "add", _stacked_env(), interpret)(P3, Q3))
 
 
 def double_pallas(p, L, b3, P, interpret=False):
     P3, restore = _to_tiles(P)
-    return restore(_build(p, L, b3, "double", interpret)(P3))
+    return restore(_build(p, L, b3, "double", _stacked_env(), interpret)(P3))
 
 
 def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
@@ -278,7 +316,7 @@ def addsel_pallas(p, L, b3, P, Q, sel, interpret=False):
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
-    return restore(_build(p, L, b3, "addsel", interpret)(P3, Q3, s3))
+    return restore(_build(p, L, b3, "addsel", _stacked_env(), interpret)(P3, Q3, s3))
 
 
 def dblsel_pallas(p, L, b3, P, Q, sel, interpret=False):
@@ -286,7 +324,7 @@ def dblsel_pallas(p, L, b3, P, Q, sel, interpret=False):
     P3, restore = _to_tiles(P)
     Q3, _ = _to_tiles(Q)
     s3 = _sel_tiles(sel, P)
-    return restore(_build(p, L, b3, "dblsel", interpret)(P3, Q3, s3))
+    return restore(_build(p, L, b3, "dblsel", _stacked_env(), interpret)(P3, Q3, s3))
 
 
 # ---------------------------------------------------------------------------
@@ -362,9 +400,9 @@ def _g2_smul_static_kernel(
 @lru_cache(maxsize=None)
 def _build_g2_smul(
     p: int, L: int, b3: Tuple[int, int], nbits: int, S: int, static: bool,
-    interpret: bool,
+    stacked: bool, interpret: bool,
 ):
-    F = Row2Ctx(p, L, b3)
+    F = Row2Ctx(p, L, b3, _mm_stacked if stacked else _mm_serial)
     R = 1 << (16 * L)
     one_limbs = tuple(((R % p) >> (16 * k)) & 0xFFFF for k in range(L))
     spec = _point_spec(L)
@@ -410,7 +448,9 @@ def g2_smul_pallas(p, L, b3, Q, scalars, nbits, interpret=False):
     if pad:
         s2 = jnp.pad(s2, [(0, 0), (0, pad)])
     s3 = s2.reshape(S, -1, 128)
-    out = _build_g2_smul(p, L, tuple(b3), nbits, S, False, interpret)(s3, Q3)
+    out = _build_g2_smul(
+        p, L, tuple(b3), nbits, S, False, _stacked_env(), interpret
+    )(s3, Q3)
     return restore(out)
 
 
@@ -419,6 +459,6 @@ def g2_smul_static_pallas(p, L, b3, Q, bits, interpret=False):
     Q3, restore = _to_tiles(Q)
     bits_arr = jnp.asarray(np.asarray(bits, dtype=np.uint32))
     out = _build_g2_smul(
-        p, L, tuple(b3), len(bits), 0, True, interpret
+        p, L, tuple(b3), len(bits), 0, True, _stacked_env(), interpret
     )(bits_arr, Q3)
     return restore(out)

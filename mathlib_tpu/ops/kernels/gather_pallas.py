@@ -75,6 +75,69 @@ def _build(N: int, Wr: int, BLK: int, interpret: bool):
     return run
 
 
+@lru_cache(maxsize=None)
+def _build_t(N: int, Wr: int, BLK: int, interpret: bool):
+    """Transposing gather: row r of the table lands in COLUMN i of the
+    output block — dst is a strided (Wr,)-element column slice, so one
+    DMA descriptor performs the gather AND the point-major -> lane-major
+    relayout that the MSM scan currently pays a dense XLA transpose for.
+    HBM read side stays a contiguous row; the strided write hits VMEM
+    (fine-grained SRAM)."""
+
+    def kernel(idx_ref, table_ref, out_ref, sem):
+        g = pl.program_id(0)
+
+        def issue(i, _):
+            r = idx_ref[g * BLK + i]
+            pltpu.make_async_copy(
+                table_ref.at[r],
+                out_ref.at[:, i],
+                sem,
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, BLK, issue, 0, unroll=8)
+
+        def drain(i, _):
+            pltpu.make_async_copy(
+                table_ref.at[0],
+                out_ref.at[:, i],
+                sem,
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, BLK, drain, 0, unroll=8)
+
+    @jax.jit
+    def run(idx, table):
+        M = idx.shape[0]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(M // BLK,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (Wr, BLK), lambda g, idx: (0, g), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((Wr, M), jnp.uint32),
+            interpret=interpret,
+        )(idx, table)
+
+    return run
+
+
+def gather_rows_t_pallas(table, idx, blk: int = 512, interpret: bool = False):
+    """table[idx].T via transposing per-row DMAs: (N, Wr) x (M,) -> (Wr, M)."""
+    N, Wr = table.shape
+    M = idx.shape[0]
+    assert M % blk == 0, (M, blk)
+    return _build_t(N, Wr, blk, interpret)(idx.astype(jnp.int32), table)
+
+
 def gather_rows_pallas(table, idx, blk: int = 512, interpret: bool = False):
     """table[idx] as an in-kernel DMA gather.
 

@@ -136,15 +136,15 @@ def _le_neg(F: RowCtx, a):
         v = np.uint32(F.p_limbs[k] + LIMB_MASK) + carry - std[k]
         neg.append(v & LIMB_MASK)
         carry = v >> LIMB_BITS
-    # std == 0 -> neg == p; lexicographic std <= neg still holds (0 < p)
-    le = jnp.ones_like(std[0], dtype=jnp.bool_)
-    decided = jnp.zeros_like(le)
-    for k in range(F.L - 1, -1, -1):
-        s, n = std[k], neg[k]
-        ne = s != n
-        le = jnp.where(jnp.logical_and(~decided, ne), s < n, le)
-        decided = jnp.logical_or(decided, ne)
-    return le
+    # std <= neg  <=>  (neg - std) does not borrow.  Pure arithmetic
+    # ripple — no boolean vectors as select DATA (Mosaic cannot lower
+    # i8->i1 vector truncations).  std == 0 -> neg == p: no borrow,
+    # positive, matching sign(0) in the reference.
+    carry = jnp.ones_like(std[0])
+    for k in range(F.L):
+        v = neg[k] + np.uint32(LIMB_MASK) + carry - std[k]
+        carry = v >> LIMB_BITS
+    return carry > 0
 
 
 def _sswu_body(

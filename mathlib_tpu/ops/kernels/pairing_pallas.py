@@ -990,6 +990,60 @@ def _pairing_check_kernel(
         ok_ref[...] = _is_one_flag(tw, red).astype(jnp.uint32)
 
 
+def _pairing_prod_kernel(
+    tw: RowTower,
+    nbits: int,
+    conj_end: bool,
+    bits_ref,
+    nlanes_ref,
+    xp_ref,
+    yp_ref,
+    qx_ref,
+    qy_ref,
+    prod_ref,
+    f_ref,
+    t_ref,
+):
+    """prod_i of the UNREDUCED Miller values in ONE launch (split mode).
+
+    The first two stages of _pairing_check_kernel — Miller loops with
+    pad-masking and the rotation product, accumulated across the grid
+    into the (12L, TS, 128) out block — WITHOUT the in-kernel final
+    exponentiation.  The caller follows with the cached final-exp kernel
+    and an is-one compare: 3 launches instead of 1, but each compiles in
+    minutes instead of the monolith's pathological server-side compile.
+    """
+    L = tw.L
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+    _miller_body(tw, nbits, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref)
+
+    f = _ld_f12(f_ref, L)
+    if conj_end:
+        f = tw.f12_conj(f)
+
+    g = pl.program_id(0)
+    like = f[0][0][0][0]
+    ts = like.shape[0]
+    pos = (
+        g * (ts * 128)
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 1)
+    )
+    f = _mask_pad_to_one(tw, f, pos < nlanes_ref[0])
+    f = _product_all_positions(tw, f)
+
+    @pl.when(g == 0)
+    def _():
+        _st_f12(prod_ref, L, f)
+
+    @pl.when(g > 0)
+    def _():
+        _st_f12(prod_ref, L, tw.f12_mul(_ld_f12(prod_ref, L), f))
+
+
 def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
     """Base-field power chain (inverse/sqrt exponentiations) in one launch."""
     L = F.L
@@ -1220,6 +1274,83 @@ def _build_pairing_check(
         )(bits, invbits, xbits, nlanes, xp, yp, qx, qy)
 
     return run
+
+
+@lru_cache(maxsize=None)
+def _build_pairing_prod(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str,
+    nbits: int, conj_end: bool, interpret: bool,
+):
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    kernel = partial(_pairing_prod_kernel, tw, nbits, conj_end)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, nlanes, xp, yp, qx, qy):
+        M = xp.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (12 * L, TILE_SUBLANES, 128), jnp.uint32
+            ),
+            grid=(M // TILE_SUBLANES,),
+            in_specs=[
+                smem, smem,
+                _spec(L), _spec(L), _spec(2 * L), _spec(2 * L),
+            ],
+            out_specs=pl.BlockSpec(
+                (12 * L, TILE_SUBLANES, 128), lambda g: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((6 * L, TILE_SUBLANES, 128), jnp.uint32),
+            ],
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, nlanes, xp, yp, qx, qy)
+
+    return run
+
+
+def pairing_product_pallas(
+    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False
+):
+    """prod_i of unreduced Miller values as ONE launch -> (2, 3, 2, L, 1).
+
+    Split-mode stage 1 of the fused product check (see
+    _pairing_prod_kernel); every position of the out tile holds the same
+    product after the in-kernel rotation all-reduce, so the wrapper
+    returns position (0, 0) only."""
+    from ...curves.params import Family
+
+    if spec.family != Family.BLS12 or spec.fexp_factor != 3:
+        return None
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = jnp.broadcast_shapes(xP.shape[-1:], Qx.shape[-1:])
+    lead = jnp.broadcast_shapes(xP.shape[:-2], Qx.shape[:-3])
+    xP = jnp.broadcast_to(xP, lead + (L,) + lanes)
+    yP = jnp.broadcast_to(yP, lead + (L,) + lanes)
+    Qx = jnp.broadcast_to(Qx, lead + (2, L) + lanes)
+    Qy = jnp.broadcast_to(Qy, lead + (2, L) + lanes)
+    xp2, tot = _flatten(jnp.moveaxis(xP, -2, 0), L)
+    yp2, _ = _flatten(jnp.moveaxis(yP, -2, 0), L)
+    qx2, _ = _flatten(
+        jnp.moveaxis(Qx, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes),
+        2 * L,
+    )
+    qy2, _ = _flatten(
+        jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes),
+        2 * L,
+    )
+    out = _build_pairing_prod(
+        p, L, beta_neg, xi0, twist, len(bits), conj_end, interpret
+    )(
+        jnp.asarray(np.asarray(bits, dtype=np.uint32)),
+        jnp.asarray(np.array([tot], dtype=np.int32)),
+        xp2, yp2, qx2, qy2,
+    )
+    return out[:, 0, 0].reshape(2, 3, 2, L, 1)
 
 
 def pairing_check_pallas(

@@ -248,18 +248,38 @@ class PairingCtx:
         )
 
     def product_check(self, xP, yP, Qx, Qy) -> Array:
-        """prod_i e(P_i, Q_i) == 1 as ONE kernel dispatch (scalar bool).
+        """prod_i e(P_i, Q_i) == 1, fused (scalar bool).
 
-        Fuses Miller loops + product tree + final exp + unity test
-        (kernels/pairing_pallas.py pairing_check_pallas); only valid when
-        ``supports_fused_check``.  The BLS/BBS+ verify hot path."""
-        from .kernels.pairing_pallas import pairing_check_pallas
+        Two strategies (MATHLIB_PAIR_FUSED):
 
-        out = pairing_check_pallas(
+        * ``split`` (default) — fused Miller+product kernel, then the
+          cached whole-final-exp kernel, then the XLA is-one compare:
+          3 device dispatches, each compiling in minutes.
+        * ``check`` — the monolithic one-launch kernel
+          (pairing_check_pallas) including final exp and unity test;
+          saves ~2 dispatch latencies per call but its first compile is
+          pathologically slow on the serving stack.
+
+        Only valid when ``supports_fused_check``.  The BLS/BBS+ verify
+        hot path (kilic engine.Check, perf_test.go:352-358)."""
+        import os
+
+        from .kernels.pairing_pallas import (
+            pairing_check_pallas,
+            pairing_product_pallas,
+        )
+
+        if os.environ.get("MATHLIB_PAIR_FUSED", "split") == "check":
+            out = pairing_check_pallas(
+                self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end
+            )
+            assert out is not None, "fused check unsupported for this curve"
+            return out
+        prod = pairing_product_pallas(
             self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end
         )
-        assert out is not None, "fused check unsupported for this curve"
-        return out
+        assert prod is not None, "fused check unsupported for this curve"
+        return self.tw.f12_is_one(self.final_exp(prod))[..., 0]
 
     def final_exp(self, f: Array) -> Array:
         return self.tw.f12_final_exp(f)

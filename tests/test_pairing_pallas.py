@@ -680,3 +680,44 @@ def test_pairing_check_kernel_body(name, numpy_kernel_env_full):
     assert run([(P, Q), (nP, Q)]) is True
     # e(P,Q)^2 != 1
     assert run([(P, Q), (P, Q)]) is False
+
+
+def test_pairing_prod_kernel_body(numpy_kernel_env_full):
+    """Split-mode stage 1 (_pairing_prod_kernel): Miller + mask + rotation
+    product WITHOUT final exp.  The product has per-step scale freedom vs
+    the host engine, so the comparison applies the HOST final exp to the
+    decoded product and checks the reduced value."""
+    spec = get_spec("BLS12_381")
+    eng = get_engine(spec)
+    from mathlib_tpu.host.fields import get_tower as get_host_tower
+    from mathlib_tpu.ops.pairing import get_pairing_ctx
+
+    ctx = get_pairing_ctx(spec)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    ht = get_host_tower(spec)
+    rng = random.Random(6)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r))
+    P2 = eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r))
+
+    B = 128
+    pairs = [(P, Q), (P2, Q)]
+    g1s = [pairs[i % 2][0] for i in range(B)]
+    g2s = [pairs[i % 2][1] for i in range(B)]
+    xp = np.stack([r[0] for r in _enc([pt[0] for pt in g1s], p, L)])[:, None, :]
+    yp = np.stack([r[0] for r in _enc([pt[1] for pt in g1s], p, L)])[:, None, :]
+    qx = _f2_to_rows(_enc2([q[0] for q in g2s], p, L), p, L)
+    qy = _f2_to_rows(_enc2([q[1] for q in g2s], p, L), p, L)
+    bits = np.asarray(ctx.loop_bits, dtype=np.uint32)
+    mk = lambda rows: np.zeros((rows * L, 1, B), np.uint32)
+    prod = mk(12)
+    pp_mod._pairing_prod_kernel(
+        tw, len(bits), ctx.conj_end,
+        _Ref(bits), _Ref(np.array([2], dtype=np.int32)),
+        _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
+        _Ref(prod), _Ref(mk(12)), _Ref(mk(6)),
+    )
+    got = ht.f12_final_exp(_dec12(prod, p, L)[0])
+    want = ht.f12_mul(eng.pairing(P, Q), eng.pairing(P2, Q))
+    assert got == want

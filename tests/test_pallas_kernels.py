@@ -277,7 +277,8 @@ def _sample_g2_points(eng, rng, n, p):
     return pts
 
 
-def test_g2_kernel_bodies(numpy_g2_kernel_env):
+@pytest.mark.parametrize("strategy", ["serial", "stacked"])
+def test_g2_kernel_bodies(strategy, numpy_g2_kernel_env):
     from mathlib_tpu.ops.g2 import get_g2_ctx
 
     g2p_mod = numpy_g2_kernel_env
@@ -287,7 +288,10 @@ def test_g2_kernel_bodies(numpy_g2_kernel_env):
     p, L = spec.p, g2.fp.L
     b3 = g2._pallas_b3
     assert b3 == (12, 12)  # the gate must be open for BLS12-381
-    F = g2p_mod.Row2Ctx(p, L, b3)
+    F = g2p_mod.Row2Ctx(
+        p, L, b3,
+        g1p_mod._mm_stacked if strategy == "stacked" else g1p_mod._mm_serial,
+    )
     rng = random.Random(0xBEEF)
     hostP = _sample_g2_points(eng, rng, 8, p)
     hostQ = _sample_g2_points(eng, rng, 8, p)

@@ -65,12 +65,19 @@ def main():
         print(f"{stage:32s} {dt*1e3:9.2f} ms   {rate:12,.0f} /s", flush=True)
 
     # --- full pipelines (the headline rates) --------------------------------
-    t = _time(lambda: hash_to_g1_batch(spec, msgs, dst))
-    row("hash_to_g1 end-to-end", t)
-    t = _time(lambda: hash_to_g1_bbs_batch(spec, msgs, dst))
-    row("hash_to_g1 BBS end-to-end", t)
-    t = _time(lambda: hash_to_g2_batch(spec, msgs, dst))
-    row("hash_to_g2 end-to-end", t)
+    def try_row(stage, fn):
+        try:
+            row(stage, _time(fn))
+        except Exception as e:
+            rows.append({"stage": stage, "error": repr(e)[:300]})
+            print(f"{stage}: FAILED {e!r}"[:200], flush=True)
+
+    try_row("hash_to_g1 end-to-end", lambda: hash_to_g1_batch(spec, msgs, dst))
+    try_row(
+        "hash_to_g1 BBS end-to-end",
+        lambda: hash_to_g1_bbs_batch(spec, msgs, dst),
+    )
+    try_row("hash_to_g2 end-to-end", lambda: hash_to_g2_batch(spec, msgs, dst))
 
     # --- stages -------------------------------------------------------------
     from mathlib_tpu.ops.xmd import hash_to_field_device, pack_b0_blocks

@@ -138,6 +138,44 @@ def bench_gather(rows):
             flush=True,
         )
 
+    # XLA gather + the dense transpose the scan pays today (the full
+    # baseline the transposing DMA would replace)
+    xla_t = jax.jit(lambda t_, i_: jnp.take(t_, i_, axis=0).T.copy())
+    t = _median_time(xla_t, table, idx)
+    rows.append(
+        {"bench": "gather/xla+transpose", "rows": M, "ms": round(t * 1e3, 2),
+         "ns_per_row": round(t / M * 1e9, 2)}
+    )
+    print(f"gather XLA+T    {t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row", flush=True)
+
+    from mathlib_tpu.ops.kernels.gather_pallas import gather_rows_t_pallas
+
+    for blk in (256, 1024):
+        try:
+            fn = jax.jit(
+                lambda t_, i_, b=blk: gather_rows_t_pallas(t_, i_, blk=b)
+            )
+            t = _median_time(fn, table, idx)
+            got = np.asarray(fn(table, idx)[:, :256])
+            want = np.asarray(table)[np.asarray(idx)[:256]].T
+            ok = bool(np.array_equal(got, want))
+        except Exception as e:  # strided-dst DMA may be rejected by Mosaic
+            rows.append(
+                {"bench": f"gather/dmaT_blk{blk}", "error": repr(e)[:200]}
+            )
+            print(f"gather DMA-T b{blk}: UNSUPPORTED ({e!r})"[:160], flush=True)
+            continue
+        rows.append(
+            {"bench": f"gather/dmaT_blk{blk}", "rows": M,
+             "ms": round(t * 1e3, 2), "ns_per_row": round(t / M * 1e9, 2),
+             "correct": ok}
+        )
+        print(
+            f"gather DMA-T b{blk:<4d}{t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row"
+            f"  correct={ok}",
+            flush=True,
+        )
+
 
 def bench_msm(rows, n_log2=20):
     """End-to-end MSM under both combiner strategies."""
