@@ -479,31 +479,38 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
 def hash_to_g1_bbs_batch(spec: CurveSpec, msgs, dst: bytes) -> Array:
     """Batched BBS+ legacy hash-to-G1 on device (kilic/custom.go:134-237).
 
-    Host does the BLAKE2b-512 expand_message_xmd and the from64Bytes
-    embedding e1 + e0*2^256 mod p (custom.go:312-342); the device pipeline
-    is the shared SSWU/isogeny/cofactor program with the BIG-ENDIAN sign
-    select (sign(z) = -z >= z, custom.go:99-105) instead of RFC sgn0.
-    Byte-equality with the host BBS path is pinned by tests.
+    Host does ONLY the BLAKE2b-512 expand_message_xmd bytes; the
+    from64Bytes embedding e1 + e0*2^256 mod p (custom.go:312-342) runs on
+    device (each 64-byte half read as one big-endian integer IS
+    e0*2^256 + e1, so xmd.FieldEmbed computes it in two mont_muls), and
+    the map is the shared SSWU/isogeny/cofactor program with the
+    BIG-ENDIAN sign select (sign(z) = -z >= z, custom.go:99-105) instead
+    of RFC sgn0.  Byte-equality with the host BBS path is pinned by
+    tests.
     """
     from ..host.hash_to_curve import expand_message_xmd
+    from .xmd import FieldEmbed
 
     ctx = get_hash_g1_ctx(spec)
-    p = spec.p
-    us0, us1 = [], []
-    for m in msgs:
-        uniform = expand_message_xmd(m, dst, 128, "blake2b512")
-        for half, out in ((uniform[:64], us0), (uniform[64:], us1)):
-            e0 = int.from_bytes(half[:32], "big")
-            e1 = int.from_bytes(half[32:], "big")
-            out.append((e1 + e0 * (1 << 256)) % p)
-    u0 = ctx.fp.encode(us0)
-    u1 = ctx.fp.encode(us1)
-    key = (spec.name, len(msgs), "be")
+    n = len(msgs)
+    buf = b"".join(expand_message_xmd(m, dst, 128, "blake2b512") for m in msgs)
+    words = (
+        np.frombuffer(buf, dtype=">u4").reshape(n, 32).T.astype(np.uint32)
+    )  # (32, N) BE words; rows 0-15 = first 64-byte half, 16-31 = second
+
+    key = (spec.name, n, "be")
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(lambda a, b: ctx.hash_to_g1(a, b, "be"))
+        emb = FieldEmbed(ctx.fp, 64)
+
+        def run(w):
+            u0 = emb.embed(w[:16])
+            u1 = emb.embed(w[16:])
+            return ctx.hash_to_g1(u0, u1, "be")
+
+        fn = jax.jit(run)
         _JIT_CACHE[key] = fn
-    return fn(u0, u1)
+    return fn(words)
 
 
 def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
