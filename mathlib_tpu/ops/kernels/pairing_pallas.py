@@ -836,24 +836,45 @@ def _f12_map_rows(fn, f):
     )
 
 
+def _f12_norm(f, L: int):
+    """Normalize an f12 tree to tuple/tuple/(list, list) so it can ride a
+    fori_loop carry (pytree treedefs must match exactly)."""
+    return tuple(
+        tuple(
+            (
+                [f[h][j][0][i] for i in range(L)],
+                [f[h][j][1][i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+
+
 def _product_all_positions(tw: RowTower, f):
     """Group-product of an f12 over all sublane x lane positions.
 
     Rotation all-reduce: 3 sublane-axis + 7 lane-axis rotate-and-multiply
-    steps leave EVERY position holding the product of all 1024 — no
-    masked lanes, no shape changes, ~10 f12 muls total (trivial next to
-    the 63 Miller iterations)."""
+    steps leave EVERY position holding the product of all 1024.  The
+    shifts are DYNAMIC (pltpu.roll takes a traced shift), so each axis is
+    one fori_loop over one f12_mul body — ~10x less generated code than
+    unrolling, which is what made the product kernels' AOT compile
+    pathological on the serving stack."""
+    L = tw.L
     ts = f[0][0][0][0].shape[0]
-    sh = 1
-    while sh < ts:
-        g = _f12_map_rows(lambda r, s=sh: pltpu.roll(r, s, axis=0), f)
-        f = tw.f12_mul(f, g)
-        sh *= 2
-    sh = 1
-    while sh < 128:
-        g = _f12_map_rows(lambda r, s=sh: pltpu.roll(r, s, axis=1), f)
-        f = tw.f12_mul(f, g)
-        sh *= 2
+    f = _f12_norm(f, L)
+
+    def body(axis):
+        def step(i, fv):
+            sh = 1 << i
+            g = _f12_map_rows(lambda r: pltpu.roll(r, sh, axis=axis), fv)
+            return _f12_norm(tw.f12_mul(fv, g), L)
+
+        return step
+
+    n_sub = ts.bit_length() - 1  # log2(ts)
+    f = jax.lax.fori_loop(0, n_sub, body(0), f)
+    f = jax.lax.fori_loop(0, 7, body(1), f)
     return f
 
 

@@ -718,6 +718,8 @@ def test_pairing_prod_kernel_body(numpy_kernel_env_full):
         _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
         _Ref(prod), _Ref(mk(12)), _Ref(mk(6)),
     )
-    got = ht.f12_final_exp(_dec12(prod, p, L)[0])
+    got = ht.f12_final_exp(
+        _dec12(pp_mod._ld_f12(_Ref(prod), L), p, L)[0]
+    )
     want = ht.f12_mul(eng.pairing(P, Q), eng.pairing(P2, Q))
     assert got == want
