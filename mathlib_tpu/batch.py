@@ -142,8 +142,25 @@ class BatchEngine:
         run the miller-batch + XLA product tree + final-exp pipeline."""
         xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
         if self.pair.supports_fused_check:
-            f = self._cached("pair_check_fused", self.pair.product_check)
-            return bool(np.asarray(f(xP, yP, Qx, Qy)))
+            # pad the lane axis to a power-of-two bucket (>= 1024 = one
+            # kernel grid step) so ONE compiled program serves every
+            # batch size up to the bucket — the kernel masks lanes >= n
+            # to the group identity.  The Miller-product kernel's AOT
+            # compile is minutes-long; without bucketing every distinct
+            # n would pay it.
+            n = xP.shape[-1]
+            bucket = max(1024, 1 << (n - 1).bit_length())
+            padn = bucket - n
+            if padn:
+                def pad(a):
+                    w = [(0, 0)] * (a.ndim - 1) + [(0, padn)]
+                    return np.pad(np.asarray(a), w)
+
+                xP, yP, Qx, Qy = pad(xP), pad(yP), pad(Qx), pad(Qy)
+            f = self._cached(
+                ("pair_check_fused", bucket), self.pair.product_check
+            )
+            return bool(np.asarray(f(xP, yP, Qx, Qy, n)))
 
         def check(xp, yp, qx, qy):
             f = self.pair.miller_loop(xp, yp, qx, qy)

@@ -1335,14 +1335,20 @@ def _build_pairing_prod(
 
 
 def pairing_product_pallas(
-    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False
+    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False,
+    n=None,
 ):
     """prod_i of unreduced Miller values as ONE launch -> (2, 3, 2, L, 1).
 
     Split-mode stage 1 of the fused product check (see
     _pairing_prod_kernel); every position of the out tile holds the same
     product after the in-kernel rotation all-reduce, so the wrapper
-    returns position (0, 0) only."""
+    returns position (0, 0) only.
+
+    ``n``: optional TRACED true pair count — callers that pad their lane
+    axis to a fixed bucket pass it so ONE compiled program serves every
+    batch size up to the bucket (the kernel masks lanes >= n to the
+    group identity); without it the static lane count is used."""
     from ...curves.params import Family
 
     if spec.family != Family.BLS12 or spec.fexp_factor != 3:
@@ -1364,18 +1370,24 @@ def pairing_product_pallas(
         jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes),
         2 * L,
     )
+    nl = (
+        jnp.asarray(n, jnp.int32).reshape(1)
+        if n is not None
+        else jnp.asarray(np.array([tot], dtype=np.int32))
+    )
     out = _build_pairing_prod(
         p, L, beta_neg, xi0, twist, len(bits), conj_end, interpret
     )(
         jnp.asarray(np.asarray(bits, dtype=np.uint32)),
-        jnp.asarray(np.array([tot], dtype=np.int32)),
+        nl,
         xp2, yp2, qx2, qy2,
     )
     return out[:, 0, 0].reshape(2, 3, 2, L, 1)
 
 
 def pairing_check_pallas(
-    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False
+    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False,
+    n=None,
 ):
     """prod_i e(P_i, Q_i) == 1 as ONE kernel launch; returns a scalar bool
     array (BLS12 factor-3 curves; None signals unsupported convention).
@@ -1413,7 +1425,11 @@ def pairing_check_pallas(
         jnp.asarray(np.asarray(bits, dtype=np.uint32)),
         jnp.asarray(inv_bits),
         jnp.asarray(x_bits),
-        jnp.asarray(np.array([tot], dtype=np.int32)),
+        (
+            jnp.asarray(n, jnp.int32).reshape(1)
+            if n is not None
+            else jnp.asarray(np.array([tot], dtype=np.int32))
+        ),
         xp2, yp2, qx2, qy2,
     )
     return out[0, 0] != 0

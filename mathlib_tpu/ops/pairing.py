@@ -247,7 +247,7 @@ class PairingCtx:
             and self.spec.fexp_factor == 3
         )
 
-    def product_check(self, xP, yP, Qx, Qy) -> Array:
+    def product_check(self, xP, yP, Qx, Qy, n=None) -> Array:
         """prod_i e(P_i, Q_i) == 1, fused (scalar bool).
 
         Two strategies (MATHLIB_PAIR_FUSED):
@@ -271,12 +271,13 @@ class PairingCtx:
 
         if os.environ.get("MATHLIB_PAIR_FUSED", "split") == "check":
             out = pairing_check_pallas(
-                self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end
+                self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end,
+                n=n,
             )
             assert out is not None, "fused check unsupported for this curve"
             return out
         prod = pairing_product_pallas(
-            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end
+            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end, n=n
         )
         assert prod is not None, "fused check unsupported for this curve"
         return self.tw.f12_is_one(self.final_exp(prod))[..., 0]
