@@ -157,10 +157,29 @@ class BatchEngine:
                     return np.pad(np.asarray(a), w)
 
                 xP, yP, Qx, Qy = pad(xP), pad(yP), pad(Qx), pad(Qy)
+            import os
+
+            if os.environ.get("MATHLIB_PAIR_FUSED") in ("check", "split"):
+                # all-device strategies (final exp + unity on chip)
+                f = self._cached(
+                    ("pair_check_fused", bucket), self.pair.product_check
+                )
+                return bool(np.asarray(f(xP, yP, Qx, Qy, n)))
+            # default: device Miller loops + product tree, then the SINGLE
+            # Fp12 final exp + unity test on the host C++ engine — the
+            # final exp of one element is a serial chain at 1/1024 lane
+            # occupancy on the VPU (~40 ms); the C++ engine does it in
+            # ~2.1 ms (ops/pairing.py product_miller).
             f = self._cached(
-                ("pair_check_fused", bucket), self.pair.product_check
+                ("pair_prod_fused", bucket), self.pair.product_miller
             )
-            return bool(np.asarray(f(xP, yP, Qx, Qy, n)))
+            return self._host_finish_product(f(xP, yP, Qx, Qy, n))
+
+    def _host_finish_product(self, prod) -> bool:
+        """Finish a device (2, 3, 2, L, 1) unreduced Miller product: decode
+        the single Fp12, final-exponentiate on the host engine, test unity."""
+        val = self.tw.f12_decode(np.asarray(prod))[0]
+        return bool(self.host.gt_is_one(self.host.final_exp(val)))
 
         def check(xp, yp, qx, qy):
             f = self.pair.miller_loop(xp, yp, qx, qy)

@@ -84,7 +84,10 @@ def _mm_stacked(F: RowCtx, pairs):
 
 
 def _stacked_env() -> bool:
-    return os.environ.get("MATHLIB_G1_STACKED", "0") != "0"
+    # default ON: measured 94.5M vs 77.4M pts/s (73% vs 60% of VPU SoL)
+    # for the maddsel combiner on v5e, bitwise-identical results
+    # (tools/profile_stacked.py, round 4)
+    return os.environ.get("MATHLIB_G1_STACKED", "1") != "0"
 
 
 # ---------------------------------------------------------------------------

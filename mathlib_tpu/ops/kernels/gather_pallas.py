@@ -41,7 +41,7 @@ def _build(N: int, Wr: int, BLK: int, interpret: bool):
             ).start()
             return 0
 
-        jax.lax.fori_loop(0, BLK, issue, 0, unroll=8)
+        jax.lax.fori_loop(0, BLK, issue, 0)
 
         def drain(i, _):
             pltpu.make_async_copy(
@@ -51,7 +51,7 @@ def _build(N: int, Wr: int, BLK: int, interpret: bool):
             ).wait()
             return 0
 
-        jax.lax.fori_loop(0, BLK, drain, 0, unroll=8)
+        jax.lax.fori_loop(0, BLK, drain, 0)
 
     @jax.jit
     def run(idx, table):
@@ -96,7 +96,7 @@ def _build_t(N: int, Wr: int, BLK: int, interpret: bool):
             ).start()
             return 0
 
-        jax.lax.fori_loop(0, BLK, issue, 0, unroll=8)
+        jax.lax.fori_loop(0, BLK, issue, 0)
 
         def drain(i, _):
             pltpu.make_async_copy(
@@ -106,7 +106,7 @@ def _build_t(N: int, Wr: int, BLK: int, interpret: bool):
             ).wait()
             return 0
 
-        jax.lax.fori_loop(0, BLK, drain, 0, unroll=8)
+        jax.lax.fori_loop(0, BLK, drain, 0)
 
     @jax.jit
     def run(idx, table):

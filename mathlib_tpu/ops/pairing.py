@@ -264,10 +264,7 @@ class PairingCtx:
         hot path (kilic engine.Check, perf_test.go:352-358)."""
         import os
 
-        from .kernels.pairing_pallas import (
-            pairing_check_pallas,
-            pairing_product_pallas,
-        )
+        from .kernels.pairing_pallas import pairing_check_pallas
 
         if os.environ.get("MATHLIB_PAIR_FUSED", "split") == "check":
             out = pairing_check_pallas(
@@ -276,11 +273,26 @@ class PairingCtx:
             )
             assert out is not None, "fused check unsupported for this curve"
             return out
-        prod = pairing_product_pallas(
-            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end, n=n
-        )
-        assert prod is not None, "fused check unsupported for this curve"
+        prod = self.product_miller(xP, yP, Qx, Qy, n=n)
         return self.tw.f12_is_one(self.final_exp(prod))[..., 0]
+
+    def product_miller(self, xP, yP, Qx, Qy, n=None, interpret=False) -> Array:
+        """UNREDUCED prod of Miller values as one launch -> (2, 3, 2, L, 1).
+
+        Callers finish with a single-element final exp + unity test — on
+        the HOST: that final exp is a serial dependency chain (~550-mul
+        Fermat inversion + 5 cyclotomic x-chains) on one element, i.e.
+        1/1024 lane occupancy on the VPU.  Measured: ~2.1 ms in the C++
+        engine vs ~40 ms as the device kernel.  Only valid when
+        ``supports_fused_check``."""
+        from .kernels.pairing_pallas import pairing_product_pallas
+
+        prod = pairing_product_pallas(
+            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end, n=n,
+            interpret=interpret,
+        )
+        assert prod is not None, "fused product unsupported for this curve"
+        return prod
 
     def final_exp(self, f: Array) -> Array:
         return self.tw.f12_final_exp(f)

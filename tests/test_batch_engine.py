@@ -46,3 +46,29 @@ def test_bls_sign_verify(be):
     assert be.bls_verify_batch(pk, sigs, msgs, dst=b"TEST-DST") is True
     bad = sigs[:2] + [be.host.g1.mul(be.host.gen_g1, 5)]
     assert be.bls_verify_batch(pk, bad, msgs, dst=b"TEST-DST") is False
+
+
+def test_host_finish_product_glue(be):
+    """The hostfexp product-check tail (BatchEngine._host_finish_product):
+    device-layout (2, 3, 2, L, 1) unreduced product -> host final exp +
+    unity.  The kernel producing that layout is covered by
+    test_pairing_pallas.py::test_pairing_prod_kernel_body; this pins the
+    decode + host-engine glue on both a unity and a non-unity product."""
+    import numpy as np
+
+    eng = be.host
+    rng = random.Random(7)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, be.spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, be.spec.r))
+    f1 = eng.miller_loop([(P, Q)])
+    f2 = eng.miller_loop([(eng.g1.neg(P), Q)])
+    from mathlib_tpu.host.fields import get_tower as get_host_tower
+
+    ht = get_host_tower(be.spec)
+    unity_prod = ht.f12_mul(f1, f2)
+    enc = be.tw.f12_encode(unity_prod)  # (2, 3, 2, L, 1)
+    assert enc.shape[-1] == 1
+    assert be._host_finish_product(np.asarray(enc)) is True
+    bad_prod = ht.f12_mul(f1, f1)
+    enc = be.tw.f12_encode(bad_prod)
+    assert be._host_finish_product(np.asarray(enc)) is False

@@ -5,8 +5,14 @@ VERDICT round-3 task 2: lift add_select from 24% toward >=50% of VPU
 speed-of-light and attack the 12.2 ns/row gather issue floor.  This
 script measures, in order:
 
-  1. maddsel kernel serial vs stacked (100 in-graph reps, median-of-5),
-  2. in-kernel DMA gather vs XLA take() at MSM shapes,
+  1. maddsel kernel serial vs stacked.  Timing is the MARGINAL cost per
+     in-graph repetition — t(100 reps) - t(10 reps) over 90 — so the
+     ~24 ms fixed axon-tunnel dispatch cost cancels exactly (measured:
+     a single 8192-point launch is 23.8 ms wall, of which ~0.12 ms is
+     the kernel).  The two strategies must also agree bitwise.
+  2. in-kernel DMA gather vs XLA take() at MSM shapes (128-word rows:
+     Mosaic requires HBM slices lane-aligned, and XLA pads a 64-word
+     table to 128 lanes anyway, so 128 is what both paths truly move).
   3. end-to-end MSM 2^20 under both kernel strategies.
 
 Usage: python tools/profile_stacked.py [--quick] [--json out.json]
@@ -40,11 +46,19 @@ def _median_time(fn, *args, reps=5):
     jax.block_until_ready(out)
     ts = []
     for _ in range(reps):
-        t0 = time.time()
+        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-        ts.append(time.time() - t0)
+        ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def _marginal_time(make_loop, lo=10, hi=100):
+    """Per-rep device time of an in-graph repeated kernel, fixed dispatch
+    cost cancelled: (t[hi reps] - t[lo reps]) / (hi - lo)."""
+    t_lo = _median_time(make_loop(lo))
+    t_hi = _median_time(make_loop(hi))
+    return (t_hi - t_lo) / (hi - lo)
 
 
 def bench_combiner(rows):
@@ -54,7 +68,7 @@ def bench_combiner(rows):
     g1 = get_g1_ctx(SPEC)
     eng = get_engine(SPEC)
     p, L, b3 = SPEC.p, g1.fp.L, g1.F.b3
-    n = 8192
+    n = 65536
     rng = np.random.default_rng(1)
     # random multiples of G encoded projective + affine
     base = [eng.g1.mul(eng.gen_g1, int(k)) for k in rng.integers(1, 2**31, 8)]
@@ -63,29 +77,34 @@ def bench_combiner(rows):
     Qa = jnp.asarray(g1.encode_points_affine(pts[::-1]))
     sel = jnp.asarray(rng.integers(0, 2, n, dtype=np.uint32).astype(bool))
 
-    REPS = 100
+    P3, restore = gp._to_tiles(P)
+    Q3 = gp._to_tiles_affine(
+        jnp.broadcast_to(Qa, P.shape[:-3] + (2,) + P.shape[-2:])
+    )
+    s3 = gp._sel_tiles(sel, P)
+
+    outs = {}
     for stacked in (False, True):
         builder = gp._build(p, L, b3, "maddsel", stacked, False)
 
-        P3, restore = gp._to_tiles(P)
-        Q3 = gp._to_tiles_affine(
-            jnp.broadcast_to(Qa, P.shape[:-3] + (2,) + P.shape[-2:])
-        )
-        s3 = gp._sel_tiles(sel, P)
+        def make_loop(R, b=builder):
+            @jax.jit
+            def many(P3, Q3, s3):
+                def body(c, _):
+                    return b(c, Q3, s3), None
 
-        @jax.jit
-        def many(P3, Q3, s3):
-            def body(c, _):
-                return builder(c, Q3, s3), None
+                out, _ = jax.lax.scan(body, P3, None, length=R)
+                return out
 
-            out, _ = jax.lax.scan(body, P3, None, length=REPS)
-            return out
+            return lambda: many(P3, Q3, s3)
 
-        t = _median_time(many, P3, Q3, s3) / REPS
+        outs[stacked] = np.asarray(builder(P3, Q3, s3))
+        t = _marginal_time(make_loop)
         rate = n / t
         label = "stacked" if stacked else "serial"
-        # SoL model: 11 mont_mul (~4L^2 u32 ops) + ~25 add/sub (7L) per point
-        vpu_ops = 11 * 4 * L * L + 25 * 7 * L
+        # SoL model: 11 mont_mul (2L^2+L native mults + ~2L^2 shifts/masks
+        # + ~4L^2 adds) + ~25 add/sub (7L each) per point
+        vpu_ops = 11 * (8 * L * L + L) + 25 * 7 * L
         ceil = 7.13e12 / vpu_ops
         rows.append(
             {
@@ -101,14 +120,17 @@ def bench_combiner(rows):
             f"  ({100*rate/ceil:.1f}% of VPU SoL)",
             flush=True,
         )
+    same = bool(np.array_equal(outs[False], outs[True]))
+    rows.append({"bench": "maddsel/strategies_agree", "equal": same})
+    print(f"serial == stacked bitwise: {same}", flush=True)
 
 
 def bench_gather(rows):
     """XLA row gather vs in-kernel DMA gather at the MSM scan shape."""
     from mathlib_tpu.ops.kernels.gather_pallas import gather_rows_pallas
 
-    N, Wr = 1 << 20, 64
-    M = 1 << 18  # rows gathered per call (one scan step's worth x4)
+    N, Wr = 1 << 20, 128  # XLA pads 64/72-word rows to 128 lanes in HBM
+    M = 1 << 17  # idx rides in SMEM (1 MB cap): 2^17 x 4B = 512 KB
     rng = np.random.default_rng(2)
     table = jnp.asarray(rng.integers(0, 2**32, (N, Wr), dtype=np.uint32))
     idx = jnp.asarray(rng.integers(0, N, (M,), dtype=np.int32))
@@ -122,11 +144,16 @@ def bench_gather(rows):
     print(f"gather XLA      {t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row", flush=True)
 
     for blk in (256, 1024):
-        fn = jax.jit(lambda t_, i_, b=blk: gather_rows_pallas(t_, i_, blk=b))
-        t = _median_time(fn, table, idx)
-        got = np.asarray(fn(table, idx)[:256])
-        want = np.asarray(table)[np.asarray(idx)[:256]]
-        ok = bool(np.array_equal(got, want))
+        try:
+            fn = jax.jit(lambda t_, i_, b=blk: gather_rows_pallas(t_, i_, blk=b))
+            t = _median_time(fn, table, idx)
+            got = np.asarray(fn(table, idx)[:256])
+            want = np.asarray(table)[np.asarray(idx)[:256]]
+            ok = bool(np.array_equal(got, want))
+        except Exception as e:
+            rows.append({"bench": f"gather/dma_blk{blk}", "error": repr(e)[:200]})
+            print(f"gather DMA b{blk}: UNSUPPORTED ({e!r})"[:160], flush=True)
+            continue
         rows.append(
             {"bench": f"gather/dma_blk{blk}", "rows": M,
              "ms": round(t * 1e3, 2), "ns_per_row": round(t / M * 1e9, 2),
@@ -178,25 +205,45 @@ def bench_gather(rows):
 
 
 def bench_msm(rows, n_log2=20):
-    """End-to-end MSM under both combiner strategies."""
-    from mathlib_tpu.ops.msm import msm_host_bridge
+    """End-to-end device MSM under both combiner strategies.
 
-    eng = get_engine(SPEC)
+    Mirrors bench.py: pre-encoded device arrays, timed jitted msm() only
+    (the host bridge's Python encode loop would otherwise dominate)."""
+    from mathlib_tpu.ops.msm import msm
+
+    g1 = get_g1_ctx(SPEC)
     n = 1 << n_log2
     rng = np.random.default_rng(3)
-    base = [eng.g1.mul(eng.gen_g1, int(k)) for k in rng.integers(1, 2**31, 64)]
-    pts = [base[i % 64] for i in range(n)]
-    scalars = [int(x) for x in rng.integers(1, SPEC.r, n)]
+
+    def rand_scalars(count):
+        ks = [int.from_bytes(rng.bytes(32), "big") % SPEC.r for _ in range(count)]
+        buf = b"".join(k.to_bytes(2 * g1.fr.L, "little") for k in ks)
+        return (
+            np.frombuffer(buf, np.uint16)
+            .reshape(count, g1.fr.L)
+            .T.astype(np.uint32)
+        )
+
+    nbase = min(n, 8192)
+    base = jax.jit(g1.scalar_mul)(
+        jnp.asarray(g1.gen), jnp.asarray(rand_scalars(nbase))
+    )
+    reps = -(-n // nbase)
+    points = jnp.tile(base, (1, 1, reps))[..., :n]
+    scalars = jnp.asarray(rand_scalars(n))
 
     for stacked in ("0", "1"):
         os.environ["MATHLIB_G1_STACKED"] = stacked
+        # the strategy is read at trace time inside the kernel builders;
+        # a fresh jit wrapper forces a retrace under the new env
+        f = jax.jit(lambda p, s: msm(g1, p, s, c=16, K=64))
         t0 = time.time()
-        out = msm_host_bridge(SPEC, pts, scalars)
+        out = np.asarray(f(points, scalars))
         t_first = time.time() - t0
         ts = []
         for _ in range(3):
             t0 = time.time()
-            out = msm_host_bridge(SPEC, pts, scalars)
+            jax.block_until_ready(f(points, scalars))
             ts.append(time.time() - t0)
         t = float(np.median(ts))
         label = "stacked" if stacked == "1" else "serial"
