@@ -109,28 +109,41 @@ class BatchEngine:
 
     # ---------------------------------------------------------- pairing -----
     def _encode_pairs(self, g1_points, g2_points):
-        """Affine pair lists -> device limb layouts, one vectorized encode
-        per coordinate column (a per-point encode+concatenate loop costs
-        more host time than the fused check kernel itself at 1024 pairs)."""
+        """Affine pair lists -> ONE plain (non-Montgomery) (6, L, N) array.
+
+        ``encode_plain`` is one C-speed to_bytes pass per element (the old
+        per-element Python Montgomery mulmod cost ~70 ms at 1024 pairs),
+        and packing all six coordinate columns into a single array makes
+        the check ONE host->device transfer instead of four sequential
+        tunnel round trips.  The Montgomery entry and the split back into
+        (xP, yP, Qx, Qy) happen in-graph via ``_pair_split_mont``."""
         fp = self.g1.fp
-        xP = fp.encode([P[0] for P in g1_points])
-        yP = fp.encode([P[1] for P in g1_points])
-        Qx = np.stack(
-            [fp.encode([Q[0][c] for Q in g2_points]) for c in range(2)]
+        cols = (
+            [P[0] for P in g1_points],
+            [P[1] for P in g1_points],
+            [Q[0][0] for Q in g2_points],
+            [Q[0][1] for Q in g2_points],
+            [Q[1][0] for Q in g2_points],
+            [Q[1][1] for Q in g2_points],
         )
-        Qy = np.stack(
-            [fp.encode([Q[1][c] for Q in g2_points]) for c in range(2)]
-        )
-        return xP, yP, Qx, Qy
+        return np.stack([fp.encode_plain(c) for c in cols])
+
+    def _pair_split_mont(self, packed):
+        """Traced Montgomery entry + unpack of the (6, L, N) pair array."""
+        m = self.g1.fp.to_mont(packed)
+        return m[0], m[1], m[2:4], m[4:6]
 
     def pairing_batch(self, g1_points, g2_points) -> List:
         """e(P_i, Q_i) for affine host point lists; returns host Fp12 list.
 
         Always final-exponentiated (the API hides the reference's FExp
         inconsistency between backends, SURVEY.md appendix)."""
-        xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
-        f = self._cached("pairing", self.pair.pairing)
-        return self.tw.f12_decode(f(xP, yP, Qx, Qy))
+        packed = self._encode_pairs(g1_points, g2_points)
+        f = self._cached(
+            "pairing",
+            lambda a: self.pair.pairing(*self._pair_split_mont(a)),
+        )
+        return self.tw.f12_decode(f(packed))
 
     def pairing_product_is_one(self, g1_points, g2_points) -> bool:
         """prod_i e(P_i, Q_i) == 1, with one shared final exponentiation —
@@ -140,48 +153,47 @@ class BatchEngine:
         On BLS12 curves under Mosaic this is ONE kernel dispatch (fused
         Miller + product + final exp + unity test); other configurations
         run the miller-batch + XLA product tree + final-exp pipeline."""
-        xP, yP, Qx, Qy = self._encode_pairs(g1_points, g2_points)
+        packed = self._encode_pairs(g1_points, g2_points)
         if self.pair.supports_fused_check:
-            # pad the lane axis to a power-of-two bucket (>= 1024 = one
-            # kernel grid step) so ONE compiled program serves every
-            # batch size up to the bucket — the kernel masks lanes >= n
-            # to the group identity.  The Miller-product kernel's AOT
-            # compile is minutes-long; without bucketing every distinct
-            # n would pay it.
-            n = xP.shape[-1]
-            bucket = max(1024, 1 << (n - 1).bit_length())
+            # pad the lane axis to a power-of-two bucket so ONE compiled
+            # program serves every batch size up to the bucket — the
+            # kernel masks lanes >= n to the group identity, and the
+            # Miller-product kernel's AOT compile is minutes-long.
+            # Buckets below 1024 lanes compile with a SHORTER sublane
+            # tile (pairing_pallas._tile_m): a 64-pair check then pays
+            # for a (1, 128) tile per row op instead of (8, 128) — ~8x
+            # less vector work at the same occupancy.
+            n = packed.shape[-1]
+            bucket = max(128, 1 << (n - 1).bit_length())
             padn = bucket - n
             if padn:
-                def pad(a):
-                    w = [(0, 0)] * (a.ndim - 1) + [(0, padn)]
-                    return np.pad(np.asarray(a), w)
-
-                xP, yP, Qx, Qy = pad(xP), pad(yP), pad(Qx), pad(Qy)
+                packed = np.pad(packed, [(0, 0), (0, 0), (0, padn)])
             import os
 
             if os.environ.get("MATHLIB_PAIR_FUSED") in ("check", "split"):
                 # all-device strategies (final exp + unity on chip)
                 f = self._cached(
-                    ("pair_check_fused", bucket), self.pair.product_check
+                    ("pair_check_fused", bucket),
+                    lambda a, nn: self.pair.product_check(
+                        *self._pair_split_mont(a), nn
+                    ),
                 )
-                return bool(np.asarray(f(xP, yP, Qx, Qy, n)))
+                return bool(np.asarray(f(packed, n)))
             # default: device Miller loops + product tree, then the SINGLE
             # Fp12 final exp + unity test on the host C++ engine — the
             # final exp of one element is a serial chain at 1/1024 lane
             # occupancy on the VPU (~40 ms); the C++ engine does it in
             # ~2.1 ms (ops/pairing.py product_miller).
             f = self._cached(
-                ("pair_prod_fused", bucket), self.pair.product_miller
+                ("pair_prod_fused", bucket),
+                lambda a, nn: self.pair.product_miller(
+                    *self._pair_split_mont(a), nn
+                ),
             )
-            return self._host_finish_product(f(xP, yP, Qx, Qy, n))
+            return self._host_finish_product(f(packed, n))
 
-    def _host_finish_product(self, prod) -> bool:
-        """Finish a device (2, 3, 2, L, 1) unreduced Miller product: decode
-        the single Fp12, final-exponentiate on the host engine, test unity."""
-        val = self.tw.f12_decode(np.asarray(prod))[0]
-        return bool(self.host.gt_is_one(self.host.final_exp(val)))
-
-        def check(xp, yp, qx, qy):
+        def check(a):
+            xp, yp, qx, qy = self._pair_split_mont(a)
             f = self.pair.miller_loop(xp, yp, qx, qy)
             prod = f
             n = f.shape[-1]
@@ -197,7 +209,13 @@ class BatchEngine:
             return self.tw.f12_is_one(self.pair.final_exp(prod))
 
         f = self._cached("pair_check", check)
-        return bool(np.asarray(f(xP, yP, Qx, Qy))[0])
+        return bool(np.asarray(f(packed))[0])
+
+    def _host_finish_product(self, prod) -> bool:
+        """Finish a device (2, 3, 2, L, 1) unreduced Miller product: decode
+        the single Fp12, final-exponentiate on the host engine, test unity."""
+        val = self.tw.f12_decode(np.asarray(prod))[0]
+        return bool(self.host.gt_is_one(self.host.final_exp(val)))
 
     # ------------------------------------------------------------- BLS ------
     def _device_hash_ctx(self):

@@ -1091,17 +1091,35 @@ def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
 # ---------------------------------------------------------------------------
 
 
-def _spec(nrows: int):
+def _spec(nrows: int, ts: int = TILE_SUBLANES):
     return pl.BlockSpec(
-        (nrows, TILE_SUBLANES, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
+        (nrows, ts, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
     )
+
+
+def _tile_m(tot: int) -> int:
+    """Row-groups (of 128 lanes) to pad tot lanes to: pow-2 up to 8,
+    then multiples of 8.  Batches <= 512 lanes get a SHORTER sublane
+    tile — every row op in the kernel then touches proportionally fewer
+    vector registers, which is the whole per-launch cost at low
+    occupancy (a 64-pair product check pays for every slot of its
+    tile)."""
+    M = max(1, -(-tot // 128))
+    if M >= TILE_SUBLANES:
+        return -(-M // TILE_SUBLANES) * TILE_SUBLANES
+    return 1 << (M - 1).bit_length()
+
+
+def _tile_ts(M: int) -> int:
+    """Sublane tile height for a padded M (static at trace time)."""
+    return M if M < TILE_SUBLANES else TILE_SUBLANES
 
 
 def _flatten(x, nrows: int):
     """(..., B) limb layout with nrows leading coeff*limb rows -> (nrows, M, 128)."""
     x2 = x.reshape(nrows, -1)
     tot = x2.shape[1]
-    pad = (-tot) % TILE
+    pad = _tile_m(tot) * 128 - tot
     if pad:
         x2 = jnp.pad(x2, [(0, 0), (0, pad)])
     M = x2.shape[1] // 128
@@ -1120,15 +1138,19 @@ def _build_miller(
     @jax.jit
     def run(bits, xp, yp, qx, qy):
         M = xp.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((6 * L, M, 128), jnp.uint32),
             ),
-            grid=(M // TILE_SUBLANES,),
-            in_specs=[bits_spec, _spec(L), _spec(L), _spec(2 * L), _spec(2 * L)],
-            out_specs=(_spec(12 * L), _spec(6 * L)),
+            grid=(M // ts,),
+            in_specs=[
+                bits_spec, _spec(L, ts), _spec(L, ts),
+                _spec(2 * L, ts), _spec(2 * L, ts),
+            ],
+            out_specs=(_spec(12 * L, ts), _spec(6 * L, ts)),
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
         )(bits, xp, yp, qx, qy)
@@ -1146,18 +1168,19 @@ def _build_add_step(
     @jax.jit
     def run(f, t, qx, qy, xp, yp):
         M = xp.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((6 * L, M, 128), jnp.uint32),
             ),
-            grid=(M // TILE_SUBLANES,),
+            grid=(M // ts,),
             in_specs=[
-                _spec(12 * L), _spec(6 * L), _spec(2 * L), _spec(2 * L),
-                _spec(L), _spec(L),
+                _spec(12 * L, ts), _spec(6 * L, ts), _spec(2 * L, ts),
+                _spec(2 * L, ts), _spec(L, ts), _spec(L, ts),
             ],
-            out_specs=(_spec(12 * L), _spec(6 * L)),
+            out_specs=(_spec(12 * L, ts), _spec(6 * L, ts)),
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
         )(f, t, qx, qy, xp, yp)
@@ -1177,12 +1200,13 @@ def _build_f12_pow(
     @jax.jit
     def run(bits, f):
         M = f.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
-            grid=(M // TILE_SUBLANES,),
-            in_specs=[bits_spec, _spec(12 * L)],
-            out_specs=_spec(12 * L),
+            grid=(M // ts,),
+            in_specs=[bits_spec, _spec(12 * L, ts)],
+            out_specs=_spec(12 * L, ts),
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
         )(bits, f)
@@ -1233,15 +1257,16 @@ def _build_final_exp(
     @jax.jit
     def run(invbits, xbits, f):
         M = f.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
-            grid=(M // TILE_SUBLANES,),
-            in_specs=[bits_spec, bits_spec, _spec(12 * L)],
-            out_specs=_spec(12 * L),
+            grid=(M // ts,),
+            in_specs=[bits_spec, bits_spec, _spec(12 * L, ts)],
+            out_specs=_spec(12 * L, ts),
             scratch_shapes=[
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
             ],
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
@@ -1269,26 +1294,26 @@ def _build_pairing_check(
     @jax.jit
     def run(bits, invbits, xbits, nlanes, xp, yp, qx, qy):
         M = xp.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (TILE_SUBLANES, 128), jnp.uint32
-            ),
-            grid=(M // TILE_SUBLANES,),
+            out_shape=jax.ShapeDtypeStruct((ts, 128), jnp.uint32),
+            grid=(M // ts,),
             in_specs=[
                 smem, smem, smem, smem,
-                _spec(L), _spec(L), _spec(2 * L), _spec(2 * L),
+                _spec(L, ts), _spec(L, ts), _spec(2 * L, ts),
+                _spec(2 * L, ts),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_SUBLANES, 128), lambda g: (0, 0),
+                (ts, 128), lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((6 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((6 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
             ],
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
@@ -1309,23 +1334,23 @@ def _build_pairing_prod(
     @jax.jit
     def run(bits, nlanes, xp, yp, qx, qy):
         M = xp.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (12 * L, TILE_SUBLANES, 128), jnp.uint32
-            ),
-            grid=(M // TILE_SUBLANES,),
+            out_shape=jax.ShapeDtypeStruct((12 * L, ts, 128), jnp.uint32),
+            grid=(M // ts,),
             in_specs=[
                 smem, smem,
-                _spec(L), _spec(L), _spec(2 * L), _spec(2 * L),
+                _spec(L, ts), _spec(L, ts), _spec(2 * L, ts),
+                _spec(2 * L, ts),
             ],
             out_specs=pl.BlockSpec(
-                (12 * L, TILE_SUBLANES, 128), lambda g: (0, 0, 0),
+                (12 * L, ts, 128), lambda g: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((12 * L, TILE_SUBLANES, 128), jnp.uint32),
-                pltpu.VMEM((6 * L, TILE_SUBLANES, 128), jnp.uint32),
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((6 * L, ts, 128), jnp.uint32),
             ],
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
@@ -1481,12 +1506,13 @@ def _build_fp_pow(p: int, L: int, nbits: int, interpret: bool):
     @jax.jit
     def run(bits, a):
         M = a.shape[1]
+        ts = _tile_ts(M)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, M, 128), jnp.uint32),
-            grid=(M // TILE_SUBLANES,),
-            in_specs=[bits_spec, _spec(L)],
-            out_specs=_spec(L),
+            grid=(M // ts,),
+            in_specs=[bits_spec, _spec(L, ts)],
+            out_specs=_spec(L, ts),
             interpret=interpret,
             compiler_params=None if interpret else _VMEM_LIMIT,
         )(bits, a)

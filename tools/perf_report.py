@@ -86,10 +86,17 @@ def _time_kernel(op, args, reps=100, iters=5):
 
 
 def jtree_block(x):
+    """Completion barrier with a REAL (tiny) device->host fetch per leaf:
+    on the axon serving stack block_until_ready can return before
+    execution completes (measured: a 27 ms pairing launch "blocks" in
+    0.06 ms), so timings must read data back."""
     import jax
+    import numpy as np
 
     jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
+        lambda a: np.asarray(a.ravel()[:1])
+        if hasattr(a, "addressable_shards")
+        else a, x
     )
 
 

@@ -18,6 +18,17 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
+
+
+def _fetch(x):
+    """Completion barrier with a REAL (tiny) device->host fetch: on the
+    axon serving stack block_until_ready can return before execution
+    completes, so timings must read data back."""
+    import numpy as _np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "addressable_shards"):
+            _np.asarray(leaf.ravel()[:1])
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -34,12 +45,12 @@ from mathlib_tpu.ops.hash import (
 
 def _time(fn, *args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(out)
         ts.append(time.time() - t0)
     return float(np.median(ts))
 

@@ -22,6 +22,16 @@ import sys
 import time
 
 import jax
+
+
+def _fetch(x):
+    """Real tiny-fetch completion barrier (block_until_ready can return
+    early on the axon stack)."""
+    import numpy as _np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "addressable_shards"):
+            _np.asarray(leaf.ravel()[:1])
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,12 +49,12 @@ from mathlib_tpu.ops.g1 import get_g1_ctx
 
 def timed(label, fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(out)
         ts.append(time.time() - t0)
     K = int(os.environ.get("K", "64"))
     print(f"{label:14s} {min(ts)*1e3:9.1f} ms   ({min(ts)*1e3/K:6.2f} ms/step)")
