@@ -98,7 +98,51 @@ class RowCtx:
         return out
 
     def sqr(self, a: Rows) -> Rows:
-        return self.mul(a, a)
+        """Montgomery square: schoolbook with the off-diagonal symmetry
+        (a_i*a_j computed once, accumulated with a 1-bit shift), then a
+        separated REDC pass.  (L^2+L)/2 + L^2 + L native multiplies vs
+        mul's 2L^2 + L — ~23% fewer; the pow chains (field inverse/sqrt,
+        hash-to-curve, final-exp easy part) are ~2/3 squarings.
+
+        Accumulator bounds: each T position gathers <= L doubled product
+        halves (< 2^17) plus L REDC halves (< 2^16) plus pushed carries
+        — comfortably < 2^23.  Output < 2p exactly as in ``mul`` (a < 2p
+        so a^2 < 4p^2 <= R*p, hence (a^2 + m*p)/R < 2p)."""
+        L = self.L
+        zero = jnp.zeros_like(a[0])
+        a = [x & LIMB_MASK for x in a]  # range hint: 16x16 native multiply
+        np0 = np.uint32(self.np_limbs[0])
+        T = [zero] * (2 * L + 1)
+        for i in range(L):
+            ai = a[i]
+            prod = ai * ai
+            T[2 * i] = T[2 * i] + (prod & LIMB_MASK)
+            T[2 * i + 1] = T[2 * i + 1] + (prod >> LIMB_BITS)
+            for j in range(i + 1, L):
+                prod = ai * a[j]
+                T[i + j] = T[i + j] + ((prod & LIMB_MASK) << 1)
+                T[i + j + 1] = T[i + j + 1] + ((prod >> LIMB_BITS) << 1)
+        for i in range(L):
+            ti = T[i]
+            T[i + 1] = T[i + 1] + (ti >> LIMB_BITS)
+            ti = ti & LIMB_MASK
+            mi = (ti * np0) & LIMB_MASK
+            for j in range(L):
+                pj = np.uint32(self.p_limbs[j])
+                prod = mi * pj
+                if j == 0:
+                    T[i + 1] = T[i + 1] + ((ti + (prod & LIMB_MASK)) >> LIMB_BITS)
+                    T[i + 1] = T[i + 1] + (prod >> LIMB_BITS)
+                else:
+                    T[i + j] = T[i + j] + (prod & LIMB_MASK)
+                    T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
+        out = []
+        carry = zero
+        for k in range(L):
+            v = T[L + k] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return out
 
     # ------------------------------------------------------------- add/sub --
     def _ripple(self, t: Rows) -> Rows:

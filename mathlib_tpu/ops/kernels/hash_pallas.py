@@ -86,30 +86,58 @@ def _sel(mask, a, b):
 
 
 def _pow_ref(F: RowCtx, one_limbs, base, bits_ref, nbits, acc_ref, S):
-    """base ** bits (MSB-first square-and-multiply) on (S, 128) rows.
+    """base ** bits (MSB-first, 4-bit fixed window) on (S, 128) rows.
 
-    acc lives in the (L, Smax, 128) VMEM scratch so the multiply runs
-    only at set bits (pl.when); base is a loop-invariant value."""
+    Per window: 4 squarings (dedicated ``sqr``, ~23% cheaper than mul)
+    and ONE unconditional multiply by a value SELECTED from the 16-entry
+    power table (table[0] = 1) — data selects instead of 15 pl.when
+    branches keeps the loop body small and the schedule static.  The
+    caller pads ``bits_ref`` to a multiple of 4 with leading zeros
+    (acc = 1 absorbs them).  acc lives in the (L, Smax, 128) VMEM
+    scratch; the table entries are loop-invariant values."""
     L = F.L
     like = base[0]
-    for k in range(L):
-        acc_ref[k, :S] = jnp.full_like(like, one_limbs[k])
+    one = [jnp.full_like(like, v) for v in one_limbs]
+    # power table base^0 .. base^15
+    tab = [one, base]
+    for _ in range(14):
+        tab.append(F.mul(tab[-1], base))
 
-    def body(i, _):
+    def _select(d, hi):
+        m = tab[hi]
+        for t in range(hi - 1, -1, -1):
+            m = [jnp.where(d == t, tab[t][k], m[k]) for k in range(L)]
+        return m
+
+    # leading nbits % 4 bits: acc == 1 there, so acc = base^(head value)
+    head = nbits % 4
+    if head:
+        d0 = bits_ref[0]
+        for i in range(1, head):
+            d0 = d0 * 2 + bits_ref[i]
+        init = _select(d0, (1 << head) - 1)
+    else:
+        init = one
+    for k in range(L):
+        acc_ref[k, :S] = init[k]
+
+    def body(g, _):
         acc = [acc_ref[k, :S] for k in range(L)]
-        acc = F.mul(acc, acc)
+        for _ in range(4):
+            acc = F.sqr(acc)
+        i0 = head + 4 * g
+        d = (
+            bits_ref[i0] * 8
+            + bits_ref[i0 + 1] * 4
+            + bits_ref[i0 + 2] * 2
+            + bits_ref[i0 + 3]
+        )
+        acc = F.mul(acc, _select(d, 15))
         for k in range(L):
             acc_ref[k, :S] = acc[k]
-
-        @pl.when(bits_ref[i] != 0)
-        def _():
-            acc = F.mul([acc_ref[k, :S] for k in range(L)], base)
-            for k in range(L):
-                acc_ref[k, :S] = acc[k]
-
         return 0
 
-    jax.lax.fori_loop(0, nbits, body, 0)
+    jax.lax.fori_loop(0, (nbits - head) // 4, body, 0)
     return [acc_ref[k, :S] for k in range(L)]
 
 

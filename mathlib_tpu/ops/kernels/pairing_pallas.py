@@ -342,7 +342,7 @@ class RowTower:
         one = self.one_rows(a[0])
 
         def body(i, acc):
-            acc = F.mul(acc, acc)
+            acc = F.sqr(acc)
             m = F.mul(acc, a)
             bit = bits_ref[i] != 0
             return [jnp.where(bit, m[k], acc[k]) for k in range(self.L)]
@@ -1073,7 +1073,7 @@ def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
 
     def body(i, _):
         acc = _ld(o_ref, 0, L)
-        acc = F.mul(acc, acc)
+        acc = F.sqr(acc)
         _st(o_ref, 0, L, acc)
 
         @pl.when(bits_ref[i] != 0)

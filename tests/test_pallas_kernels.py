@@ -139,6 +139,8 @@ def test_rowctx_field_ops(name, numpy_kernel_env):
         R_inv = pow(1 << (16 * L), p - 2, p)
         for got, want in [
             (_unrows(ctx.mul(a, b)), [x * y * R_inv % p for x, y in zip(va, vb)]),
+            (_unrows(ctx.sqr(a)), [x * x * R_inv % p for x in va]),
+            (_unrows(ctx.sqr(b)), [y * y * R_inv % p for y in vb]),
             (_unrows(ctx.add(a, b)), [(x + y) % p for x, y in zip(va, vb)]),
             (_unrows(ctx.sub(a, b)), [(x - y) % p for x, y in zip(va, vb)]),
             (_unrows(ctx.mul_small(a, 13)), [x * 13 % p for x in va]),
