@@ -190,21 +190,27 @@ class FpCtx:
             out[idx[:-1] + (slice(None), idx[-1])] = int_to_limbs(v, self.L)
         return out
 
-    def encode_plain(self, xs) -> np.ndarray:
+    def encode_plain(self, xs, wide: bool = True) -> np.ndarray:
         """Host ints -> PLAIN (non-Montgomery) limb array, vectorized.
 
         One C-speed ``to_bytes`` pass per element instead of ``encode``'s
         per-limb Python loop (~10 us/element: the Montgomery mulmod plus
         24 bigint shifts dominated the pairing check's wall time at 1024
         pairs).  Pair with the device ``to_mont`` so the Montgomery entry
-        runs in-graph.  List of N ints -> (L, N)."""
+        runs in-graph.  List of N ints -> (L, N).
+
+        ``wide=False`` keeps the array uint16 — HALF the host->device
+        bytes on the wire (the tunnel moves ~95 MB/s, so a 1024-pair
+        check's packed transfer drops ~3 ms); widen on device with
+        ``.astype(jnp.uint32)`` before ``to_mont``."""
         vals = [int(x) % self.p for x in xs]
         buf = b"".join(v.to_bytes(2 * self.L, "little") for v in vals)
-        return (
-            np.frombuffer(buf, np.uint16)
+        out = (
+            np.frombuffer(buf, dtype="<u2")  # explicit LE (host-endian safe)
             .reshape(len(vals), self.L)
-            .T.astype(np.uint32)
+            .T
         )
+        return out.astype(np.uint32) if wide else np.ascontiguousarray(out)
 
     def decode(self, a) -> np.ndarray:
         """Montgomery limb array (..., L, B) -> host ints (..., B)."""

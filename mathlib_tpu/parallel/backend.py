@@ -60,13 +60,38 @@ def init_multihost(
         # after which a later jax.distributed.initialize can no longer
         # attach (executed for real by tests/test_multihost.py).
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # pragma: no cover - env-dependent
+        # Absorb an externally pre-initialized runtime (user code called
+        # jax.distributed.initialize before us): same entry code runs
+        # everywhere, and the existing handshake is reused.
+        if "already initialized" not in str(e):
+            raise
+        _INITIALIZED = True
+        return False
     _INITIALIZED = True
     return True
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this named barrier.
+
+    Runs on the coordination service (TCP to the coordinator), NOT on the
+    collective fabric — safe to call before any collective executes, and
+    with a generous timeout so ranks whose first compile is slow (e.g.
+    an AOT cache miss costing minutes) don't blow the transport's short
+    connect window when they finally meet at the first collective."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # single-process: nothing to wait for
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def global_mesh(axis: str = "data") -> Mesh:
