@@ -115,8 +115,10 @@ class BatchEngine:
         per-element Python Montgomery mulmod cost ~70 ms at 1024 pairs),
         and packing all six coordinate columns into a single array makes
         the check ONE host->device transfer instead of four sequential
-        tunnel round trips.  The Montgomery entry and the split back into
-        (xP, yP, Qx, Qy) happen in-graph via ``_pair_split_mont``."""
+        tunnel round trips.  The array stays uint16 — half the wire bytes
+        through the ~95 MB/s tunnel — and the widen + Montgomery entry +
+        split back into (xP, yP, Qx, Qy) happen in-graph via
+        ``_pair_split_mont``."""
         fp = self.g1.fp
         cols = (
             [P[0] for P in g1_points],
@@ -126,11 +128,12 @@ class BatchEngine:
             [Q[1][0] for Q in g2_points],
             [Q[1][1] for Q in g2_points],
         )
-        return np.stack([fp.encode_plain(c) for c in cols])
+        return np.stack([fp.encode_plain(c, wide=False) for c in cols])
 
     def _pair_split_mont(self, packed):
-        """Traced Montgomery entry + unpack of the (6, L, N) pair array."""
-        m = self.g1.fp.to_mont(packed)
+        """Traced widen + Montgomery entry + unpack of the (6, L, N)
+        uint16 pair array."""
+        m = self.g1.fp.to_mont(packed.astype(jnp.uint32))
         return m[0], m[1], m[2:4], m[4:6]
 
     def pairing_batch(self, g1_points, g2_points) -> List:
@@ -150,11 +153,13 @@ class BatchEngine:
         the fast path for BLS/BBS+ style verification (cf. kilic
         engine.Check usage, perf_test.go:352-358).
 
-        On BLS12 curves under Mosaic this is ONE kernel dispatch (fused
-        Miller + product + final exp + unity test); other configurations
-        run the miller-batch + XLA product tree + final-exp pipeline."""
+        On BLS12 and BN curves under Mosaic the Miller loops + product
+        run as ONE kernel dispatch (BN lanes include the Frobenius tail
+        in-kernel) with the single-element final exp on the host C++
+        engine; other configurations run the miller-batch + XLA product
+        tree + final-exp pipeline."""
         packed = self._encode_pairs(g1_points, g2_points)
-        if self.pair.supports_fused_check:
+        if self.pair.supports_fused_product:
             # pad the lane axis to a power-of-two bucket so ONE compiled
             # program serves every batch size up to the bucket — the
             # kernel masks lanes >= n to the group identity, and the
@@ -170,10 +175,14 @@ class BatchEngine:
                 packed = np.pad(packed, [(0, 0), (0, 0), (0, padn)])
             import os
 
-            if os.environ.get("MATHLIB_PAIR_FUSED") in ("check", "split"):
-                # all-device strategies (final exp + unity on chip)
+            strat = os.environ.get("MATHLIB_PAIR_FUSED")
+            if strat in ("check", "split") and self.pair.supports_fused_check:
+                # all-device strategies (final exp + unity on chip);
+                # the strategy is read at trace time inside product_check,
+                # so it must be part of the jit cache key (env toggles
+                # mid-process retrace instead of reusing the first trace)
                 f = self._cached(
-                    ("pair_check_fused", bucket),
+                    ("pair_check_fused", strat, bucket),
                     lambda a, nn: self.pair.product_check(
                         *self._pair_split_mont(a), nn
                     ),
@@ -210,6 +219,71 @@ class BatchEngine:
 
         f = self._cached("pair_check", check)
         return bool(np.asarray(f(packed))[0])
+
+    def pairing_products_are_one(
+        self, g1_points, g2_points, group_size: int
+    ) -> List[bool]:
+        """Many INDEPENDENT product checks in one dispatch: pairs are
+        consecutive groups of ``group_size``; returns one verdict per
+        group (prod_i e(P_i, Q_i) == 1 within each group).
+
+        The serving form of ``pairing_product_is_one``: the per-call
+        fixed cost (tunnel round trip ~23 ms measured round 5, encode,
+        dispatch) amortizes over all groups.  BLS12 runs segmented
+        Miller products + the batched device final-exp kernel + unity
+        compare as ONE program and fetches G booleans; BN curves fetch
+        the G unreduced products and finish each on the host C++ engine;
+        other configurations fall back to per-group single checks."""
+        n = len(g1_points)
+        assert n == len(g2_points) and n % group_size == 0
+        G = n // group_size
+        pow2 = group_size & (group_size - 1) == 0
+        if not (self.pair.supports_fused_product and pow2):
+            return [
+                self.pairing_product_is_one(
+                    g1_points[k * group_size : (k + 1) * group_size],
+                    g2_points[k * group_size : (k + 1) * group_size],
+                )
+                for k in range(G)
+            ]
+        packed = self._encode_pairs(g1_points, g2_points)
+        # one compiled program per (group_size, bucket): lanes pad to a
+        # power-of-two bucket, pad groups reduce to the identity
+        bucket = max(128, 1 << (n - 1).bit_length())
+        padn = bucket - n
+        if padn:
+            packed = np.pad(packed, [(0, 0), (0, 0), (0, padn)])
+        # groups may not straddle grid tiles (seg <= ts*128): the tile is
+        # 8 sublane rows above 1024 lanes, so group_size caps at 1024
+        assert group_size <= 1024, (
+            "groups over 1024 pairs: call pairing_product_is_one per check"
+        )
+        if self.pair.supports_fused_check:
+            # BLS12: segment products + batched final exp + unity test,
+            # one program, one G-bool fetch
+            f = self._cached(
+                ("pair_products_dev", group_size, bucket),
+                lambda a, nn: self.tw.f12_is_one(
+                    self.tw.f12_final_exp(
+                        self.pair.products_miller(
+                            *self._pair_split_mont(a), group_size, nn
+                        )
+                    )
+                ),
+            )
+            ok = np.asarray(f(packed, n))
+            return [bool(v) for v in ok[:G]]
+        f = self._cached(
+            ("pair_products", group_size, bucket),
+            lambda a, nn: self.pair.products_miller(
+                *self._pair_split_mont(a), group_size, nn
+            ),
+        )
+        vals = self.tw.f12_decode(np.asarray(f(packed, n)))
+        return [
+            bool(self.host.gt_is_one(self.host.final_exp(v)))
+            for v in vals[:G]
+        ]
 
     def _host_finish_product(self, prod) -> bool:
         """Finish a device (2, 3, 2, L, 1) unreduced Miller product: decode

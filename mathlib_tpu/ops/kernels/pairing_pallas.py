@@ -851,15 +851,23 @@ def _f12_norm(f, L: int):
     )
 
 
-def _product_all_positions(tw: RowTower, f):
-    """Group-product of an f12 over all sublane x lane positions.
+def _product_all_positions(tw: RowTower, f, seg: int = 0):
+    """Group-product of an f12 over sublane x lane positions.
 
     Rotation all-reduce: 3 sublane-axis + 7 lane-axis rotate-and-multiply
     steps leave EVERY position holding the product of all 1024.  The
     shifts are DYNAMIC (pltpu.roll takes a traced shift), so each axis is
     one fori_loop over one f12_mul body — ~10x less generated code than
     unrolling, which is what made the product kernels' AOT compile
-    pathological on the serving stack."""
+    pathological on the serving stack.
+
+    ``seg`` = 0 reduces everything.  A power-of-two ``seg`` (aligned
+    contiguous flat segments, flat position = sublane*128 + lane) runs
+    only log2(seg) doubling steps, so position k*seg + seg - 1 ends up
+    holding the product of segment k (np.roll convention: roll(x, s)[i]
+    = x[i - s], so each position accumulates the cyclic window ENDING at
+    it).  seg <= 128 segments live inside one lane row; larger segments
+    must be whole multiples of 128 lanes (seg = m*128, m <= ts)."""
     L = tw.L
     ts = f[0][0][0][0].shape[0]
     f = _f12_norm(f, L)
@@ -872,9 +880,16 @@ def _product_all_positions(tw: RowTower, f):
 
         return step
 
-    n_sub = ts.bit_length() - 1  # log2(ts)
+    if seg:
+        lg = seg.bit_length() - 1  # log2(seg)
+        n_lane = min(7, lg)
+        n_sub = min(ts.bit_length() - 1, max(0, lg - 7))
+        assert seg == 1 << lg and (seg <= 128 or seg % 128 == 0)
+    else:
+        n_lane = 7
+        n_sub = ts.bit_length() - 1  # log2(ts)
     f = jax.lax.fori_loop(0, n_sub, body(0), f)
-    f = jax.lax.fori_loop(0, 7, body(1), f)
+    f = jax.lax.fori_loop(0, n_lane, body(1), f)
     return f
 
 
@@ -1011,10 +1026,53 @@ def _pairing_check_kernel(
         ok_ref[...] = _is_one_flag(tw, red).astype(jnp.uint32)
 
 
+def _miller_conj_tail(
+    tw: RowTower, nbits: int, conj_end: bool, tail,
+    bits_ref, xp_ref, yp_ref, qx_ref, qy_ref, f_ref, t_ref,
+):
+    """Shared front half of the product kernels: per-lane Miller loop,
+    conjugation for negative loop parameters, and (BN curves) the two
+    Frobenius tail chord lines.  Returns the per-lane Miller f12."""
+    L = tw.L
+    xP = _ld(xp_ref, 0, L)
+    yP = _ld(yp_ref, 0, L)
+    Qx = _ld_f2(qx_ref, 0, L)
+    Qy = _ld_f2(qy_ref, 0, L)
+    _miller_body(tw, nbits, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref)
+
+    f = _ld_f12(f_ref, L)
+    if conj_end:
+        f = tw.f12_conj(f)
+
+    if tail is not None:
+        T = _ld_T(t_ref, L)
+        if conj_end:
+            T = (T[0], tw.neg(T[1]), T[2])
+        like = xP[0]
+        (cx1, cy1, cx2, cy2) = (
+            (tw.const_fp(like, c0), tw.const_fp(like, c1))
+            for (c0, c1) in tail
+        )
+        mb = MulBatch(tw.F)
+        r1x = tw.q_mul(mb, (Qx[0], tw.fneg(Qx[1])), cx1)
+        r1y = tw.q_mul(mb, (Qy[0], tw.fneg(Qy[1])), cy1)
+        r2x = tw.q_mul(mb, Qx, cx2)
+        r2y = tw.q_mul(mb, Qy, cy2)
+        o = mb.run()
+        Q1x, Q1y, Q2x = r1x(o), r1y(o), r2x(o)
+        Q2y = tw.neg(r2y(o))
+        (A, DmB, negC), T = tw.add_step(T, Q1x, Q1y, xP, yP)
+        f = tw.f12_sparse_mul(f, A, DmB, negC)
+        (A, DmB, negC), T = tw.add_step(T, Q2x, Q2y, xP, yP)
+        f = tw.f12_sparse_mul(f, A, DmB, negC)
+    return f
+
+
 def _pairing_prod_kernel(
     tw: RowTower,
     nbits: int,
     conj_end: bool,
+    tail,
     bits_ref,
     nlanes_ref,
     xp_ref,
@@ -1033,17 +1091,18 @@ def _pairing_prod_kernel(
     exponentiation.  The caller follows with the cached final-exp kernel
     and an is-one compare: 3 launches instead of 1, but each compiles in
     minutes instead of the monolith's pathological server-side compile.
+
+    ``tail``: None for BLS12 loops; for BN curves the 4 Frobenius
+    twist-coordinate constants ((cx1, cy1, cx2, cy2), each an Fp2 pair of
+    Montgomery limb tuples) driving the two chord-line add steps with
+    Q1 = pi(Q) and Q2 = -pi^2(Q) after the 6x+2 loop (same tail as
+    ops/pairing.py miller_loop; reference seam bn254.go:247-267).
     """
     L = tw.L
-    xP = _ld(xp_ref, 0, L)
-    yP = _ld(yp_ref, 0, L)
-    Qx = _ld_f2(qx_ref, 0, L)
-    Qy = _ld_f2(qy_ref, 0, L)
-    _miller_body(tw, nbits, bits_ref, xP, yP, Qx, Qy, f_ref, t_ref)
-
-    f = _ld_f12(f_ref, L)
-    if conj_end:
-        f = tw.f12_conj(f)
+    f = _miller_conj_tail(
+        tw, nbits, conj_end, tail, bits_ref, xp_ref, yp_ref, qx_ref, qy_ref,
+        f_ref, t_ref,
+    )
 
     g = pl.program_id(0)
     like = f[0][0][0][0]
@@ -1063,6 +1122,53 @@ def _pairing_prod_kernel(
     @pl.when(g > 0)
     def _():
         _st_f12(prod_ref, L, tw.f12_mul(_ld_f12(prod_ref, L), f))
+
+
+def _pairing_prod_seg_kernel(
+    tw: RowTower,
+    nbits: int,
+    conj_end: bool,
+    tail,
+    seg: int,
+    bits_ref,
+    nlanes_ref,
+    xp_ref,
+    yp_ref,
+    qx_ref,
+    qy_ref,
+    prod_ref,
+    f_ref,
+    t_ref,
+):
+    """SEGMENTED Miller products: one unreduced product per ``seg``
+    consecutive lanes, all groups in ONE launch.
+
+    The serving shape of the BBS+/BLS verify: MANY independent product
+    checks of the same size, where the per-call fixed cost (tunnel round
+    trip ~23 ms, measured round 5) would otherwise dominate every check.
+    The rotation product runs only log2(seg) doubling steps, so position
+    k*seg + seg - 1 of the (12L, M, 128) out buffer holds group k's
+    product; each grid step owns its own out block (no cross-grid
+    accumulation), so groups must not straddle grid steps — the wrapper
+    enforces seg <= ts*128.  Pad lanes (>= nlanes) are masked to the
+    identity, so trailing pad groups reduce to 1."""
+    L = tw.L
+    f = _miller_conj_tail(
+        tw, nbits, conj_end, tail, bits_ref, xp_ref, yp_ref, qx_ref, qy_ref,
+        f_ref, t_ref,
+    )
+
+    g = pl.program_id(0)
+    like = f[0][0][0][0]
+    ts = like.shape[0]
+    pos = (
+        g * (ts * 128)
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, like.shape, 1)
+    )
+    f = _mask_pad_to_one(tw, f, pos < nlanes_ref[0])
+    f = _product_all_positions(tw, f, seg=min(seg, ts * 128))
+    _st_f12(prod_ref, L, f)
 
 
 def _fp_pow_kernel(F: RowCtx, one_limbs, nbits: int, bits_ref, a_ref, o_ref):
@@ -1325,10 +1431,21 @@ def _build_pairing_check(
 @lru_cache(maxsize=None)
 def _build_pairing_prod(
     p: int, L: int, beta_neg: int, xi0: int, twist: str,
-    nbits: int, conj_end: bool, interpret: bool,
+    nbits: int, conj_end: bool, interpret: bool, tail=None,
 ):
+    # ``tail``: BN Frobenius tail constants as Fp2 pairs of PLAIN ints
+    # ((cx1, cy1, cx2, cy2)); converted to Montgomery limb immediates here
+    # so the lru_cache key stays small and hashable.
     tw = RowTower(p, L, beta_neg, xi0, twist)
-    kernel = partial(_pairing_prod_kernel, tw, nbits, conj_end)
+    mont_tail = (
+        tuple(
+            (_mont_limbs(p, L, c0), _mont_limbs(p, L, c1))
+            for (c0, c1) in tail
+        )
+        if tail is not None
+        else None
+    )
+    kernel = partial(_pairing_prod_kernel, tw, nbits, conj_end, mont_tail)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
@@ -1359,9 +1476,115 @@ def _build_pairing_prod(
     return run
 
 
+@lru_cache(maxsize=None)
+def _build_pairing_prod_seg(
+    p: int, L: int, beta_neg: int, xi0: int, twist: str,
+    nbits: int, conj_end: bool, seg: int, interpret: bool, tail=None,
+):
+    tw = RowTower(p, L, beta_neg, xi0, twist)
+    mont_tail = (
+        tuple(
+            (_mont_limbs(p, L, c0), _mont_limbs(p, L, c1))
+            for (c0, c1) in tail
+        )
+        if tail is not None
+        else None
+    )
+    kernel = partial(
+        _pairing_prod_seg_kernel, tw, nbits, conj_end, mont_tail, seg
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(bits, nlanes, xp, yp, qx, qy):
+        M = xp.shape[1]
+        ts = _tile_ts(M)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12 * L, M, 128), jnp.uint32),
+            grid=(M // ts,),
+            in_specs=[
+                smem, smem,
+                _spec(L, ts), _spec(L, ts), _spec(2 * L, ts),
+                _spec(2 * L, ts),
+            ],
+            out_specs=_spec(12 * L, ts),
+            scratch_shapes=[
+                pltpu.VMEM((12 * L, ts, 128), jnp.uint32),
+                pltpu.VMEM((6 * L, ts, 128), jnp.uint32),
+            ],
+            interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
+        )(bits, nlanes, xp, yp, qx, qy)
+
+    return run
+
+
+def pairing_products_pallas(
+    spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, seg: int,
+    interpret=False, n=None, tail=None,
+):
+    """G = lanes/seg unreduced Miller products as ONE launch ->
+    (2, 3, 2, L, G): group k is the product over its ``seg`` consecutive
+    lanes (the grouped/serving form of pairing_product_pallas — many
+    independent product checks amortize one dispatch).
+
+    ``seg`` must be a power of two; groups must be aligned (check k's
+    pairs at lanes [k*seg, (k+1)*seg)).  Lanes >= ``n`` are masked to the
+    identity so trailing pad groups reduce to 1.  Same curve support as
+    pairing_product_pallas (BLS12 factor-3; BN with ``tail``)."""
+    from ...curves.params import Family
+
+    bls_ok = spec.family == Family.BLS12 and spec.fexp_factor == 3
+    bn_ok = spec.family == Family.BN and tail is not None
+    if not (bls_ok or bn_ok):
+        return None
+    assert seg & (seg - 1) == 0, "segment size must be a power of two"
+    p, L, beta_neg, xi0, twist = _cfg(spec)
+    lanes = jnp.broadcast_shapes(xP.shape[-1:], Qx.shape[-1:])
+    lead = jnp.broadcast_shapes(xP.shape[:-2], Qx.shape[:-3])
+    xP = jnp.broadcast_to(xP, lead + (L,) + lanes)
+    yP = jnp.broadcast_to(yP, lead + (L,) + lanes)
+    Qx = jnp.broadcast_to(Qx, lead + (2, L) + lanes)
+    Qy = jnp.broadcast_to(Qy, lead + (2, L) + lanes)
+    xp2, tot = _flatten(jnp.moveaxis(xP, -2, 0), L)
+    yp2, _ = _flatten(jnp.moveaxis(yP, -2, 0), L)
+    qx2, _ = _flatten(
+        jnp.moveaxis(Qx, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes),
+        2 * L,
+    )
+    qy2, _ = _flatten(
+        jnp.moveaxis(Qy, (-3, -2), (0, 1)).reshape((2 * L,) + lead + lanes),
+        2 * L,
+    )
+    M = xp2.shape[1]
+    ts = _tile_ts(M)
+    assert seg <= ts * 128, (
+        "groups larger than one grid tile (%d lanes) need the single-"
+        "product path per check" % (ts * 128)
+    )
+    nl = (
+        jnp.asarray(n, jnp.int32).reshape(1)
+        if n is not None
+        else jnp.asarray(np.array([tot], dtype=np.int32))
+    )
+    out = _build_pairing_prod_seg(
+        p, L, beta_neg, xi0, twist, len(bits), conj_end, seg, interpret,
+        tail=tail if bn_ok else None,
+    )(
+        jnp.asarray(np.asarray(bits, dtype=np.uint32)),
+        nl,
+        xp2, yp2, qx2, qy2,
+    )
+    G = M * 128 // seg
+    flat = out.reshape(12 * L, M * 128)
+    prods = flat[:, (jnp.arange(G) * seg + seg - 1)]
+    return prods.reshape(2, 3, 2, L, G)
+
+
 def pairing_product_pallas(
     spec, xP, yP, Qx, Qy, bits: np.ndarray, conj_end: bool, interpret=False,
-    n=None,
+    n=None, tail=None,
 ):
     """prod_i of unreduced Miller values as ONE launch -> (2, 3, 2, L, 1).
 
@@ -1373,10 +1596,21 @@ def pairing_product_pallas(
     ``n``: optional TRACED true pair count — callers that pad their lane
     axis to a fixed bucket pass it so ONE compiled program serves every
     batch size up to the bucket (the kernel masks lanes >= n to the
-    group identity); without it the static lane count is used."""
+    group identity); without it the static lane count is used.
+
+    Leading batch dims (anything before the (L, lanes) / (2, L, lanes)
+    coordinate axes) are FLATTENED INTO the lane axis and multiplied into
+    the single product — there is no per-lead-batch output (ADVICE r4).
+
+    BN curves are supported by passing ``tail`` (the 4 Frobenius
+    twist-coordinate Fp2 constants as plain-int pairs) — the kernel then
+    finishes each lane's 6x+2 loop with the two Frobenius chord lines
+    before the product (reference: bn254.go:247-267)."""
     from ...curves.params import Family
 
-    if spec.family != Family.BLS12 or spec.fexp_factor != 3:
+    bls_ok = spec.family == Family.BLS12 and spec.fexp_factor == 3
+    bn_ok = spec.family == Family.BN and tail is not None
+    if not (bls_ok or bn_ok):
         return None
     p, L, beta_neg, xi0, twist = _cfg(spec)
     lanes = jnp.broadcast_shapes(xP.shape[-1:], Qx.shape[-1:])
@@ -1401,7 +1635,8 @@ def pairing_product_pallas(
         else jnp.asarray(np.array([tot], dtype=np.int32))
     )
     out = _build_pairing_prod(
-        p, L, beta_neg, xi0, twist, len(bits), conj_end, interpret
+        p, L, beta_neg, xi0, twist, len(bits), conj_end, interpret,
+        tail=tail if bn_ok else None,
     )(
         jnp.asarray(np.asarray(bits, dtype=np.uint32)),
         nl,
@@ -1421,6 +1656,9 @@ def pairing_check_pallas(
     final exponentiation, unity test — in a single dispatch, replacing the
     round-3 pipeline whose ~15 XLA-level launches made up most of the
     ~48 ms fixed cost at 64 pairs (BENCH_NOTES).
+
+    As with pairing_product_pallas, leading batch dims fold into the lane
+    axis: the result is ONE verdict over all supplied pairs (ADVICE r4).
     """
     from ...curves.params import Family
 

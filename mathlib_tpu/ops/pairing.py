@@ -237,7 +237,9 @@ class PairingCtx:
 
     @property
     def supports_fused_check(self) -> bool:
-        """One-launch product check available (BLS12 factor-3 + Mosaic)?"""
+        """All-device one-launch product check available (BLS12 factor-3 +
+        Mosaic)?  Gates the ``check``/``split`` strategies whose device
+        final-exp kernel runs the BLS12 x-chain hard part."""
         from .field import _pallas_enabled
         from ..curves.params import Family
 
@@ -246,6 +248,22 @@ class PairingCtx:
             and self.spec.family == Family.BLS12
             and self.spec.fexp_factor == 3
         )
+
+    @property
+    def supports_fused_product(self) -> bool:
+        """Fused Miller+product kernel available (the default hostfexp
+        product-check path)?  BLS12 factor-3 AND BN curves — the kernel
+        finishes BN lanes with the two Frobenius tail lines in-launch
+        (reference: driver/gurvy/bn254.go:247-267); the single-element
+        final exp runs on the host C++ engine either way."""
+        from .field import _pallas_enabled
+        from ..curves.params import Family
+
+        if not _pallas_enabled():
+            return False
+        if self.spec.family == Family.BN:
+            return True
+        return self.spec.family == Family.BLS12 and self.spec.fexp_factor == 3
 
     def product_check(self, xP, yP, Qx, Qy, n=None) -> Array:
         """prod_i e(P_i, Q_i) == 1, fused (scalar bool).
@@ -284,15 +302,40 @@ class PairingCtx:
         Fermat inversion + 5 cyclotomic x-chains) on one element, i.e.
         1/1024 lane occupancy on the VPU.  Measured: ~2.1 ms in the C++
         engine vs ~40 ms as the device kernel.  Only valid when
-        ``supports_fused_check``."""
+        ``supports_fused_product``; BN curves run the Frobenius tail
+        in-kernel (constants from the host tower, __init__)."""
         from .kernels.pairing_pallas import pairing_product_pallas
 
+        tail = (
+            (self.cx1, self.cy1, self.cx2, self.cy2) if self.bn_tail else None
+        )
         prod = pairing_product_pallas(
             self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end, n=n,
-            interpret=interpret,
+            interpret=interpret, tail=tail,
         )
         assert prod is not None, "fused product unsupported for this curve"
         return prod
+
+    def products_miller(
+        self, xP, yP, Qx, Qy, seg: int, n=None, interpret=False
+    ) -> Array:
+        """G = lanes/seg UNREDUCED segment products -> (2, 3, 2, L, G).
+
+        The grouped serving form of ``product_miller``: many independent
+        product checks (each over ``seg`` consecutive lanes) in ONE
+        launch, amortizing the per-dispatch fixed cost.  Same curve
+        support as ``supports_fused_product``."""
+        from .kernels.pairing_pallas import pairing_products_pallas
+
+        tail = (
+            (self.cx1, self.cy1, self.cx2, self.cy2) if self.bn_tail else None
+        )
+        prods = pairing_products_pallas(
+            self.spec, xP, yP, Qx, Qy, self.loop_bits, self.conj_end, seg,
+            n=n, interpret=interpret, tail=tail,
+        )
+        assert prods is not None, "fused products unsupported for this curve"
+        return prods
 
     def final_exp(self, f: Array) -> Array:
         return self.tw.f12_final_exp(f)

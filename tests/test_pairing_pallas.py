@@ -682,12 +682,16 @@ def test_pairing_check_kernel_body(name, numpy_kernel_env_full):
     assert run([(P, Q), (P, Q)]) is False
 
 
-def test_pairing_prod_kernel_body(numpy_kernel_env_full):
+@pytest.mark.parametrize("name", ["BLS12_381", "BN254"])
+def test_pairing_prod_kernel_body(name, numpy_kernel_env_full):
     """Split-mode stage 1 (_pairing_prod_kernel): Miller + mask + rotation
     product WITHOUT final exp.  The product has per-step scale freedom vs
     the host engine, so the comparison applies the HOST final exp to the
-    decoded product and checks the reduced value."""
-    spec = get_spec("BLS12_381")
+    decoded product and checks the reduced value.
+
+    BN254 exercises the in-kernel Frobenius tail (two chord lines with
+    Q1 = pi(Q), Q2 = -pi^2(Q); reference bn254.go:247-267)."""
+    spec = get_spec(name)
     eng = get_engine(spec)
     from mathlib_tpu.host.fields import get_tower as get_host_tower
     from mathlib_tpu.ops.pairing import get_pairing_ctx
@@ -701,6 +705,13 @@ def test_pairing_prod_kernel_body(numpy_kernel_env_full):
     Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r))
     P2 = eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r))
 
+    tail = None
+    if ctx.bn_tail:
+        tail = tuple(
+            (pp_mod._mont_limbs(p, L, c0), pp_mod._mont_limbs(p, L, c1))
+            for (c0, c1) in (ctx.cx1, ctx.cy1, ctx.cx2, ctx.cy2)
+        )
+
     B = 128
     pairs = [(P, Q), (P2, Q)]
     g1s = [pairs[i % 2][0] for i in range(B)]
@@ -713,7 +724,7 @@ def test_pairing_prod_kernel_body(numpy_kernel_env_full):
     mk = lambda rows: np.zeros((rows * L, 1, B), np.uint32)
     prod = mk(12)
     pp_mod._pairing_prod_kernel(
-        tw, len(bits), ctx.conj_end,
+        tw, len(bits), ctx.conj_end, tail,
         _Ref(bits), _Ref(np.array([2], dtype=np.int32)),
         _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
         _Ref(prod), _Ref(mk(12)), _Ref(mk(6)),
@@ -723,3 +734,101 @@ def test_pairing_prod_kernel_body(numpy_kernel_env_full):
     )
     want = ht.f12_mul(eng.pairing(P, Q), eng.pairing(P2, Q))
     assert got == want
+
+
+@pytest.mark.parametrize("name,seg", [
+    ("BLS12_381", 64), ("BN254", 64),
+    pytest.param("BLS12_381", 256, marks=pytest.mark.slow),
+])
+def test_pairing_prod_seg_kernel_body(name, seg, numpy_kernel_env_full):
+    """Segmented grouped products (_pairing_prod_seg_kernel): one product
+    per ``seg`` consecutive lanes, read at flat positions k*seg + seg - 1
+    (np.roll window convention).  Groups: k=0 is a unity product
+    (e(P,Q) e(-P,Q) ...), k=1 is not; remaining lanes are pad masked to
+    the identity so their groups reduce to 1."""
+    spec = get_spec(name)
+    eng = get_engine(spec)
+    from mathlib_tpu.host.fields import get_tower as get_host_tower
+    from mathlib_tpu.ops.pairing import get_pairing_ctx
+
+    ctx = get_pairing_ctx(spec)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    ht = get_host_tower(spec)
+    rng = random.Random(7)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, spec.r))
+    nP = eng.g1.neg(P)
+
+    tail = None
+    if ctx.bn_tail:
+        tail = tuple(
+            (pp_mod._mont_limbs(p, L, c0), pp_mod._mont_limbs(p, L, c1))
+            for (c0, c1) in (ctx.cx1, ctx.cy1, ctx.cx2, ctx.cy2)
+        )
+
+    TS = max(1, seg // 128)          # sublane rows (ts) of the one tile
+    B = 128
+    nlanes = 2 * seg                 # two real groups, rest pad
+    g1s, g2s = [], []
+    for k in range(TS * B):
+        if k < seg:                  # group 0: pairs multiplying to one
+            g1s.append(P if k % 2 == 0 else nP)
+            g2s.append(Q)
+        else:                        # group 1 (+ pad): e(P,Q)^seg != 1
+            g1s.append(P)
+            g2s.append(Q)
+    xp = np.stack(
+        [r.reshape(TS, B) for r in
+         np.stack([row[0] for row in _enc([pt[0] for pt in g1s], p, L)])]
+    )
+    yp = np.stack(
+        [r.reshape(TS, B) for r in
+         np.stack([row[0] for row in _enc([pt[1] for pt in g1s], p, L)])]
+    )
+    qx = _f2_to_rows(_enc2([q[0] for q in g2s], p, L), p, L).reshape(
+        2 * L, TS, B
+    )
+    qy = _f2_to_rows(_enc2([q[1] for q in g2s], p, L), p, L).reshape(
+        2 * L, TS, B
+    )
+    bits = np.asarray(ctx.loop_bits, dtype=np.uint32)
+    mk = lambda rows: np.zeros((rows * L, TS, B), np.uint32)
+    prod = mk(12)
+    pp_mod._pairing_prod_seg_kernel(
+        tw, len(bits), ctx.conj_end, tail, seg,
+        _Ref(bits), _Ref(np.array([nlanes], dtype=np.int32)),
+        _Ref(xp), _Ref(yp), _Ref(qx), _Ref(qy),
+        _Ref(prod), _Ref(mk(12)), _Ref(mk(6)),
+    )
+    flat = prod.reshape(12 * L, TS * B)
+    G = TS * B // seg
+    sel = flat[:, np.arange(G) * seg + seg - 1][:, :, None]  # (12L, G, 1)
+    rows = tuple(
+        tuple(
+            (
+                [sel[((h * 3 + j) * 2 + 0) * L + i] for i in range(L)],
+                [sel[((h * 3 + j) * 2 + 1) * L + i] for i in range(L)],
+            )
+            for j in range(3)
+        )
+        for h in range(2)
+    )
+    def dec_group(k):
+        r = tuple(
+            tuple(
+                (
+                    [x[k][None, :] for x in rows[h][j][0]],
+                    [x[k][None, :] for x in rows[h][j][1]],
+                )
+                for j in range(3)
+            )
+            for h in range(2)
+        )
+        return _dec12(r, p, L)[0]
+
+    assert ht.f12_final_exp(dec_group(0)) == ht.F12_ONE
+    got1 = ht.f12_final_exp(dec_group(1))
+    want1 = ht.f12_pow(eng.pairing(P, Q), seg)
+    assert got1 == want1
+    assert got1 != ht.F12_ONE

@@ -26,16 +26,28 @@ from mathlib_tpu.ops.g1 import get_g1_ctx
 from mathlib_tpu.ops import msm as M
 
 
+def _block(x):
+    """Completion barrier with a REAL (tiny) fetch per leaf: on the axon
+    serving stack block_until_ready can return before execution completes
+    (commit 23057c1), so timings must read data back."""
+    jax.tree_util.tree_map(
+        lambda a: np.asarray(a.ravel()[:1])
+        if hasattr(a, "addressable_shards")
+        else a,
+        x,
+    )
+
+
 def timed(label, fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _block(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _block(out)
         ts.append(time.time() - t0)
-    print(f"{label:36s} {min(ts)*1e3:9.1f} ms")
+    print(f"{label:36s} {min(ts)*1e3:9.1f} ms", flush=True)
     return out
 
 
