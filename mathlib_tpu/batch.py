@@ -220,6 +220,33 @@ class BatchEngine:
         f = self._cached("pair_check", check)
         return bool(np.asarray(f(packed))[0])
 
+    def pairing_product_is_one_async(self, g1_points, g2_points):
+        """Dispatch a product check NOW; return a zero-arg resolver.
+
+        The synchronous check pays a full tunnel round trip (~29 ms
+        measured round 5) per call; a serving loop that submits check
+        i+1 before resolving check i overlaps the device kernel with the
+        host fetch + final exp of the previous check.  On configurations
+        without the fused kernel the work happens synchronously here and
+        the resolver just returns the value."""
+        packed = self._encode_pairs(g1_points, g2_points)
+        if self.pair.supports_fused_product:
+            n = packed.shape[-1]
+            bucket = max(128, 1 << (n - 1).bit_length())
+            padn = bucket - n
+            if padn:
+                packed = np.pad(packed, [(0, 0), (0, 0), (0, padn)])
+            f = self._cached(
+                ("pair_prod_fused", bucket),
+                lambda a, nn: self.pair.product_miller(
+                    *self._pair_split_mont(a), nn
+                ),
+            )
+            dev = f(packed, n)  # async dispatch; no fetch yet
+            return lambda: self._host_finish_product(dev)
+        val = self.pairing_product_is_one(g1_points, g2_points)
+        return lambda: val
+
     def pairing_products_are_one(
         self, g1_points, g2_points, group_size: int
     ) -> List[bool]:
@@ -258,9 +285,17 @@ class BatchEngine:
         assert group_size <= 1024, (
             "groups over 1024 pairs: call pairing_product_is_one per check"
         )
-        if self.pair.supports_fused_check:
-            # BLS12: segment products + batched final exp + unity test,
-            # one program, one G-bool fetch
+        import os
+
+        if (
+            os.environ.get("MATHLIB_GROUP_FEXP") == "device"
+            and self.pair.supports_fused_check
+        ):
+            # BLS12 alternative: segment products + batched device
+            # final-exp kernel + unity test, one program, one G-bool
+            # fetch.  Not the default: the narrow-tile final-exp kernel
+            # variants compile pathologically slowly on the serving
+            # stack, and the threaded host path below is within noise.
             f = self._cached(
                 ("pair_products_dev", group_size, bucket),
                 lambda a, nn: self.tw.f12_is_one(
@@ -273,16 +308,31 @@ class BatchEngine:
             )
             ok = np.asarray(f(packed, n))
             return [bool(v) for v in ok[:G]]
+        # default: ONE device launch for all G segmented Miller products,
+        # then G single-element final exps on the host C++ engine — in a
+        # thread pool (ctypes releases the GIL; the engine context is
+        # read-only after init), so 4 cores pipeline under device work
         f = self._cached(
             ("pair_products", group_size, bucket),
             lambda a, nn: self.pair.products_miller(
                 *self._pair_split_mont(a), group_size, nn
             ),
         )
-        vals = self.tw.f12_decode(np.asarray(f(packed, n)))
+        vals = self.tw.f12_decode(np.asarray(f(packed, n)))[:G]
+        if G >= 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                return list(
+                    pool.map(
+                        lambda v: bool(
+                            self.host.gt_is_one(self.host.final_exp(v))
+                        ),
+                        vals,
+                    )
+                )
         return [
-            bool(self.host.gt_is_one(self.host.final_exp(v)))
-            for v in vals[:G]
+            bool(self.host.gt_is_one(self.host.final_exp(v))) for v in vals
         ]
 
     def _host_finish_product(self, prod) -> bool:

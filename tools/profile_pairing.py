@@ -178,8 +178,9 @@ def main():
     ap.add_argument("--strategies", default="hostfexp,split")
     ap.add_argument("--sizes", default="64,1024")
     ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--curve", default="BLS12_381")
     args = ap.parse_args()
-    be = get_batch_engine(get_spec("BLS12_381"))
+    be = get_batch_engine(get_spec(args.curve))
     rows = []
     for n in [int(s) for s in args.sizes.split(",")]:
         if args.stages:
