@@ -196,9 +196,22 @@ def _bucket_table(
     R = 3 * L  # words per accumulator/bucket row (projective)
     mixed = points.shape[-3] == 2
 
-    order = jnp.argsort(digits, axis=1)  # (W, N)
-    keys = jnp.take_along_axis(digits, order, axis=1)  # sorted
-    negs = jnp.take_along_axis(neg, order, axis=1) if signed else None
+    # Sorted keys via a SECOND jnp.sort instead of take_along_axis(order):
+    # the word-gather take costs ~200 ms at (16, 2^20) on v5e (measured
+    # round 5, tools/profile_bucket_internals.py) while a whole extra
+    # sort is ~40 ms.  Signed mode packs the sign into bit 0 so one
+    # sort yields consistent (|d|, neg) pairs; ties are permutations
+    # within a segment, which leave every segment sum unchanged.
+    if signed:
+        pack = (digits << 1) | neg.astype(digits.dtype)
+        order = jnp.argsort(pack, axis=1)  # (W, N)
+        spk = jnp.sort(pack, axis=1)
+        keys = spk >> 1
+        negs = (spk & 1) != 0
+    else:
+        order = jnp.argsort(digits, axis=1)  # (W, N)
+        keys = jnp.sort(digits, axis=1)
+        negs = None
 
     pad = (-N) % K
     NP = N + pad
@@ -756,6 +769,63 @@ def msm(
         )
     totals = window_totals(g1, buckets, c, signed=signed)  # (3, L, nwin)
     return horner_windows(g1, totals, c)
+
+
+def msm_totals(
+    g1: G1Ctx,
+    points: Array,
+    scalars: Array,
+    c: int = 8,
+    signed: bool = False,
+    K: int = 64,
+    capture: str = "auto",
+    glv: bool = False,
+) -> Array:
+    """The traced part of the host-Horner MSM split: per-window totals
+    (3, L, nwin).  Identical staging to ``msm`` minus the final Horner.
+
+    The device Horner is ~26 ms at c=16 (measured round 5): 16 windows x
+    16 doublings + an add, all at 1/1024-lane occupancy — pure serial
+    latency.  The host C++ engine runs the same 256 point ops in <1 ms,
+    and the (3, L, W) totals fetch rides the result round trip the
+    caller already pays.  Finish with ``horner_host``."""
+    if glv:
+        gl = get_glv_ctx(g1)
+        if points.shape[-3] == 3:
+            inf = g1.is_inf(points)
+            scalars = jnp.where(inf[None, :], jnp.uint32(0), scalars)
+        k1, k2 = gl.split(scalars)
+        pts2 = jnp.concatenate([points, gl.endo_points(points)], axis=-1)
+        scs2 = jnp.concatenate([k1, k2], axis=-1)
+        buckets = bucket_table(
+            g1, pts2, scs2, c, signed=signed, K=K, capture=capture,
+            nbits=gl.nbits,
+        )
+    else:
+        buckets = bucket_table(
+            g1, points, scalars, c, signed=signed, K=K, capture=capture
+        )
+    return window_totals(g1, buckets, c, signed=signed)
+
+
+def horner_host(g1: G1Ctx, totals, c: int) -> Optional[tuple]:
+    """Host-side Horner over fetched window totals: (3, L, W) projective
+    -> affine host point (None = infinity).  ~W*(c+1) Jacobian ops on
+    the C++ engine vs ~26 ms of 1-lane device latency (measured r5)."""
+    from ..host.engine import get_engine
+
+    eng = get_engine(g1.spec)
+    tot = np.asarray(totals)
+    pts = g1.decode_points(tot)  # W affine host points, high window last
+    acc = None
+    for P in reversed(pts):  # windows stored low-to-high; Horner high->low
+        if acc is not None:
+            acc = eng.g1.mul(acc, 1 << c)
+        if acc is None:
+            acc = P
+        elif P is not None:
+            acc = eng.g1.add(acc, P)
+    return acc
 
 
 def msm_naive(g1: G1Ctx, points: Array, scalars: Array) -> Array:
