@@ -429,6 +429,15 @@ def get_hash_g2_ctx(spec: CurveSpec) -> HashG2Ctx:
 _JIT_CACHE: dict = {}
 
 
+def _env_key():
+    """Trace-time env knobs baked into the compiled programs (ADVICE r4:
+    cache keys must retrace when these toggle mid-process)."""
+    from .field import _pallas_enabled
+    from .kernels.g1_pallas import _stacked_env
+
+    return (_pallas_enabled(), _stacked_env())
+
+
 def _uniform_len(msgs) -> int:
     """Shared message length, or -1 if the batch mixes lengths."""
     m = len(msgs[0])
@@ -451,7 +460,7 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
         from .xmd import hash_to_field_device, pack_b0_blocks
 
         blocks0 = pack_b0_blocks(msgs, dst, 2 * L)
-        key = (spec.name, "g1xmd", mlen, len(msgs), sign, dst)
+        key = (spec.name, "g1xmd", mlen, len(msgs), sign, dst, _env_key())
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(blk):
@@ -468,7 +477,7 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
     u0 = ctx.fp.encode([u[0] for u in us])
     u1 = ctx.fp.encode([u[1] for u in us])
 
-    key = (spec.name, len(msgs), sign)
+    key = (spec.name, len(msgs), sign, _env_key())
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda a, b: ctx.hash_to_g1(a, b, sign))
@@ -498,7 +507,7 @@ def hash_to_g1_bbs_batch(spec: CurveSpec, msgs, dst: bytes) -> Array:
         np.frombuffer(buf, dtype=">u4").reshape(n, 32).T.astype(np.uint32)
     )  # (32, N) BE words; rows 0-15 = first 64-byte half, 16-31 = second
 
-    key = (spec.name, n, "be")
+    key = (spec.name, n, "be", _env_key())
     fn = _JIT_CACHE.get(key)
     if fn is None:
         emb = FieldEmbed(ctx.fp, 64)
@@ -527,7 +536,7 @@ def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
         from .xmd import hash_to_field_device, pack_b0_blocks
 
         blocks0 = pack_b0_blocks(msgs, dst, 4 * L)
-        key = (spec.name, "g2xmd", mlen, len(msgs), dst)
+        key = (spec.name, "g2xmd", mlen, len(msgs), dst, _env_key())
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(blk):
@@ -546,7 +555,7 @@ def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
     u0 = np.concatenate([f2e(u[0]) for u in us], axis=-1)
     u1 = np.concatenate([f2e(u[1]) for u in us], axis=-1)
 
-    key = (spec.name, "g2", len(msgs))
+    key = (spec.name, "g2", len(msgs), _env_key())
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(ctx.hash_to_g2)

@@ -196,3 +196,37 @@ def test_msm_glv_matches_naive():
     want = g1.decode_point(np.asarray(jax.jit(
         lambda p, s: msm_naive(g1, p, s))(P, S)))
     assert got == want
+
+
+def test_msm_totals_host_horner_matches_full():
+    """The host-Horner split (msm_totals + horner_host, the bench.py
+    production path since round 5) == the all-device msm == the naive
+    oracle, including an infinity input and edge scalars."""
+    import numpy as np
+
+    from mathlib_tpu.curves.params import get_spec
+    from mathlib_tpu.host.engine import get_engine
+    from mathlib_tpu.ops.g1 import get_g1_ctx
+    from mathlib_tpu.ops.msm import horner_host, msm, msm_naive, msm_totals
+
+    spec = get_spec("BLS12_381")
+    g1 = get_g1_ctx(spec)
+    eng = get_engine(spec)
+    import random as _r
+
+    rng = _r.Random(9)
+    n = 64
+    pts = [eng.g1.mul(eng.gen_g1, rng.randrange(2, spec.r)) for _ in range(n - 1)]
+    pts.append(None)
+    ks = [0, 1, spec.r - 1] + [rng.randrange(spec.r) for _ in range(n - 3)]
+    P = jnp.asarray(g1.encode_points(pts))
+    S = jnp.asarray(g1.encode_scalars(ks))
+    want = g1.decode_point(
+        np.asarray(jax.jit(lambda p, s: msm_naive(g1, p, s))(P, S))
+    )
+    for glv in (False, True):
+        tot = jax.jit(
+            lambda p, s, g=glv: msm_totals(g1, p, s, c=4, glv=g)
+        )(P, S)
+        got = horner_host(g1, np.asarray(tot), 4)
+        assert got == want, ("host horner", glv)

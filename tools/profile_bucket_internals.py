@@ -91,11 +91,14 @@ def main():
     digits = jax.jit(lambda s: M._digits(s, c, nwin))(scalars)
 
     def stage_sort(d):
+        # production path (round 5): argsort for the gather order + a
+        # SECOND sort for the keys — take_along_axis costs ~200 ms at
+        # this shape (kept in git history as the round-5 finding)
         order = jnp.argsort(d, axis=1)
-        keys = jnp.take_along_axis(d, order, axis=1)
+        keys = jnp.sort(d, axis=1)
         return order, keys
 
-    order, keys = timed("argsort", jax.jit(stage_sort), digits)
+    order, keys = timed("argsort+sort", jax.jit(stage_sort), digits)
 
     def stage_prep(keys, order, pts):
         pad = NP - N
@@ -151,7 +154,11 @@ def main():
     # the scan with dense emit (carry + ys) — mirrors _bucket_table body
     inf_row = jnp.asarray(g1.inf).reshape(3 * L)
 
-    def stage_scan(keys_t, order_t, rows):
+    # scan + capture as ONE jit: the 8.6 GB ys capture buffer must die
+    # inside the program (keeping it alive across separately-timed
+    # stages OOMs 16 GB HBM; the production pipeline frees it the same
+    # way)
+    def stage_scan_cap(keys_t, order_t, rows, pos):
         init = (
             jnp.full((W * C,), SENT, keys_t.dtype),
             jnp.broadcast_to(jnp.asarray(g1.inf), (3, L, W * C)),
@@ -166,16 +173,14 @@ def main():
             return (k, run), run.reshape(3 * L, W * C).T
 
         (_, final_run), ys = jax.lax.scan(body, init, (keys_t, order_t))
-        return final_run, ys
-
-    final_run, ys = timed("scan", jax.jit(stage_scan), keys_t, order_t, rows)
-
-    def stage_capture(ys, pos):
         ys_flat = ys.reshape(K * W * C, 3 * L)
         sel = ys_flat[jnp.minimum(pos, K * W * C - 1)]
-        return jnp.where((pos == SENT)[:, None], inf_row[None, :], sel)
+        rows_out = jnp.where((pos == SENT)[:, None], inf_row[None, :], sel)
+        return final_run, rows_out
 
-    bucket_rows = timed("capture", jax.jit(stage_capture), ys, pos)
+    final_run, bucket_rows = timed(
+        "scan+capture", jax.jit(stage_scan_cap), keys_t, order_t, rows, pos
+    )
 
     def stage_carries(keys, final_run, bucket_rows):
         keys_c = (

