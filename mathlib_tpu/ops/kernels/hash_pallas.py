@@ -377,8 +377,10 @@ def _build(spec_name: str, sign: str, stacked: bool, interpret: bool):
             compiler_params=None if interpret else _VMEM_LIMIT,
         )(invb, sqrtb, hb, u0, u1)
 
-    bits = (jnp.asarray(inv_bits), jnp.asarray(sqrt_bits), jnp.asarray(h_bits))
-    return run, bits
+    # NUMPY bits in the cache, converted per call: caching jnp arrays in
+    # an lru_cache leaks tracers when the first call happens inside an
+    # outer trace (jnp.asarray under tracing yields a traced constant)
+    return run, (inv_bits, sqrt_bits, h_bits)
 
 
 def hash_g1_pallas(spec, u0, u1, sign: str = "parity", interpret=False):
@@ -401,5 +403,5 @@ def hash_g1_pallas(spec, u0, u1, sign: str = "parity", interpret=False):
     u0t = u0.reshape(L, M, 128)
     u1t = u1.reshape(L, M, 128)
     run, bits = _build(spec.name, sign, _stacked_env(), interpret)
-    out = run(*bits, u0t, u1t)
+    out = run(*(jnp.asarray(b) for b in bits), u0t, u1t)
     return out.reshape(3, L, M * 128)[..., :B]

@@ -72,3 +72,37 @@ def test_host_finish_product_glue(be):
     bad_prod = ht.f12_mul(f1, f1)
     enc = be.tw.f12_encode(bad_prod)
     assert be._host_finish_product(np.asarray(enc)) is False
+
+
+@pytest.mark.slow  # pairing compile
+def test_pairing_products_grouped(be):
+    """Grouped product checks (pairing_products_are_one): per-group
+    verdicts match single-check results.  On CPU (no Mosaic) this
+    drives the fallback path; the fused grouped kernel is validated on
+    the real chip by tools/profile_grouped_pairing.py before timing."""
+    eng = be.host
+    rng = random.Random(7)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, be.spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, be.spec.r))
+    nP = eng.g1.neg(P)
+    g1s = [P, nP, P, P, nP, P, P, nP]
+    g2s = [Q] * 8
+    got = be.pairing_products_are_one(g1s, g2s, 2)
+    assert got == [True, False, True, True]
+    # non-power-of-two group size takes the per-check fallback
+    got3 = be.pairing_products_are_one(
+        [P, nP, P] + [P, P, P], [Q] * 6, 3
+    )
+    assert got3[0] is False and got3[1] is False
+
+
+@pytest.mark.slow  # pairing compile
+def test_pairing_product_async(be):
+    """pairing_product_is_one_async resolves to the synchronous answer."""
+    eng = be.host
+    rng = random.Random(8)
+    P = eng.g1.mul(eng.gen_g1, rng.randrange(2, be.spec.r))
+    Q = eng.g2.mul(eng.gen_g2, rng.randrange(2, be.spec.r))
+    r1 = be.pairing_product_is_one_async([P, eng.g1.neg(P)], [Q, Q])
+    r2 = be.pairing_product_is_one_async([P, P], [Q, Q])
+    assert r1() is True and r2() is False
