@@ -243,6 +243,13 @@ class BatchEngine:
                 ),
             )
             dev = f(packed, n)  # async dispatch; no fetch yet
+            try:
+                # start the device->host copy NOW: the tunnel's fetch
+                # round trip (~29 ms) then overlaps the caller's other
+                # work instead of being paid inside the resolver
+                dev.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - backend-dependent
+                pass
             return lambda: self._host_finish_product(dev)
         val = self.pairing_product_is_one(g1_points, g2_points)
         return lambda: val

@@ -108,13 +108,21 @@ def bench_cfg(rows, curve: str, S: int, G: int, reps: int = 5, pipeline: int = 8
             assert got == want
             return got
 
-        resolve(f(packed, n))  # warm
+        def submit():
+            dev = f(packed, n)
+            try:
+                dev.copy_to_host_async()  # overlap the fetch round trip
+            except AttributeError:
+                pass
+            return dev
+
+        resolve(submit())  # warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             pending = None
             for _i in range(pipeline):
-                dev = f(packed, n)
+                dev = submit()
                 if pending is not None:
                     resolve(pending)
                 pending = dev
