@@ -245,7 +245,10 @@ def main():
 
     be = get_batch_engine(spec)
     if be._device_hash_ctx() is not None:
-        msgs = [b"perf-%d" % i for i in range(4096)]
+        # UNIFORM-length messages take the fully-fused device-XMD path;
+        # mixed lengths fall back to host hashing (~3.5x slower) — the
+        # serving shape is uniform (nonces, indices, fixed-size ids)
+        msgs = [b"perf-%012d" % i for i in range(4096)]
         h = be.hash_to_g1_batch(msgs, b"PERF")
         jtree_block(h)
         ts = []
@@ -256,7 +259,7 @@ def main():
         t = float(np.median(ts))
         rows.append(
             {
-                "kernel": "hash_to_g1 (device SSWU+iso+cofactor, host XMD)",
+                "kernel": "hash_to_g1 (fully-fused device XMD+SSWU+iso+cofactor)",
                 "batch": len(msgs),
                 "rate": len(msgs) / t,
                 "work": "2 sswu maps + 11-isogeny + cofactor mul / point",
@@ -269,13 +272,20 @@ def main():
         print(f"hash_to_g1 device: {len(msgs) / t:,.0f}/s")
 
     # ---- fused pairing kernels (whole Miller loop / final exp per launch) --
-    # correctness gate: the fused path must reproduce the host engine
-    # exactly before any number is printed
+    # correctness gate: the fused production path (Miller+product kernel
+    # + host C++ final exp) must agree with the host engine on a true
+    # AND a false verdict before any number is printed.  (The old gate
+    # called pairing_batch([P],[Q]) whose 1-lane device final-exp tile
+    # compiles pathologically on the serving stack — >25 min observed.)
     eng2 = eng
     P1 = eng2.g1.mul(eng2.gen_g1, 5)
     Q1 = eng2.g2.mul(eng2.gen_g2, 7)
-    got = be.pairing_batch([P1], [Q1])
-    assert got[0] == eng2.pairing(P1, Q1), "fused pairing != host engine"
+    assert be.pairing_product_is_one(
+        [P1, eng2.g1.neg(P1)], [Q1, Q1]
+    ) is True, "fused product check != host engine (unity)"
+    assert be.pairing_product_is_one(
+        [P1, P1], [Q1, Q1]
+    ) is False, "fused product check != host engine (non-unity)"
 
     for npairs in (64, 1024):
         pair_pts = [(P1, Q1), (eng2.g1.neg(P1), Q1)] * (npairs // 2)
@@ -310,6 +320,41 @@ def main():
         )
         print(f"pairing product ({npairs}): {npairs / t:,.0f} pairings/s")
 
+    # ---- BN254 product check (fused kernel incl. Frobenius tail, r5) -------
+    be_bn = get_batch_engine(get_spec("BN254"))
+    engb = be_bn.host
+    Pb = engb.g1.mul(engb.gen_g1, 5)
+    Qb = engb.g2.mul(engb.gen_g2, 7)
+    nPb = engb.g1.neg(Pb)
+    assert be_bn.pairing_product_is_one([Pb, nPb], [Qb, Qb]) is True
+    assert be_bn.pairing_product_is_one([Pb, Pb], [Qb, Qb]) is False
+    npairs = 1024
+    bls = [Pb, nPb] * (npairs // 2)
+    qls = [Qb] * npairs
+    be_bn.pairing_product_is_one(bls, qls)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        be_bn.pairing_product_is_one(bls, qls)
+        ts.append(time.perf_counter() - t0)
+    t = float(np.min(ts))
+    Lb = be_bn.g1.fp.L
+    muls_per_pair = 65 * 125 + 2 * 100 / npairs
+    rows.append(
+        {
+            "kernel": "BN254 pairing product check (1024 pairs, fused + tail)",
+            "batch": npairs,
+            "rate": npairs / t,
+            "work": "fused 6x+2 Miller+product kernel incl. Frobenius tail, host C++ final exp",
+            "vpu_ceiling": V5E_VPU_OPS / (muls_per_pair * 4 * Lb * Lb),
+            "hbm_ceiling": None,
+            "util_vs_sol": (npairs / t)
+            / (V5E_VPU_OPS / (muls_per_pair * 4 * Lb * Lb)),
+            "bound": "VPU",
+        }
+    )
+    print(f"BN254 pairing product (1024): {npairs / t:,.0f} pairings/s")
+
     # ---- write report -------------------------------------------------------
     with open(args.out, "w") as f:
         f.write("# Per-kernel speed-of-light report (TPU v5e, 1 chip)\n\n")
@@ -321,7 +366,11 @@ def main():
             "as 100 in-graph repetitions inside one jit (median of 5 "
             "runs) so the axon-tunnel dispatch latency is amortized away; "
             "the MSM row is a per-phase end-to-end wall time including "
-            "one dispatch per phase.\n\n"
+            "one dispatch per phase.  Product-check and hash rows are "
+            "SINGLE-CALL walls: they include one tunnel round trip, "
+            "whose latency varies with serving-stack load (~25-50 ms "
+            "observed round 5) — BENCH_NOTES.md carries the grouped/"
+            "pipelined serving rates that amortize it.\n\n"
         )
         f.write("| kernel | batch | rate/s | bound | % of speed-of-light | work model |\n")
         f.write("|---|---|---|---|---|---|\n")
