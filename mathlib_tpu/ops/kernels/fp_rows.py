@@ -144,6 +144,116 @@ class RowCtx:
             carry = v >> LIMB_BITS
         return out
 
+    # -------------------------------------------------- lazy (wide) domain --
+    # Unreduced 2L-row values for tower-level lazy reduction: an Fp2
+    # Karatsuba multiply runs its 3 schoolbook products WITHOUT REDC,
+    # combines them in the 2L-limb product domain, and REDCs only the 2
+    # output coefficients — 5L^2 native multiplies instead of 6L^2
+    # (plus the matching share of adds).  Soundness bound: REDC(x) is in
+    # [0, 2p) for any x < p*R; the pairing tower guarantees x < 8p^2 and
+    # gates the lazy path on 8p <= R (RowTower.lazy).
+
+    def mul_wide(self, a: Rows, b: Rows) -> Rows:
+        """Plain (non-Montgomery-reduced) product a*b -> exact 16-bit
+        2L rows; inputs [0, 2p), output < 4p^2 < 2^(32L)."""
+        L = self.L
+        zero = jnp.zeros_like(a[0])
+        a = [x & LIMB_MASK for x in a]  # range hint: 16x16 native multiply
+        b = [x & LIMB_MASK for x in b]
+        T = [zero] * (2 * L + 1)
+        for i in range(L):
+            ai = a[i]
+            for j in range(L):
+                prod = ai * b[j]
+                T[i + j] = T[i + j] + (prod & LIMB_MASK)
+                T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
+        # normalize to exact 16-bit rows (top row T[2L] ripples to zero:
+        # the value fits 2L limbs)
+        out = []
+        carry = zero
+        for k in range(2 * L):
+            v = T[k] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return out
+
+    def _wide_ripple_mod(self, t: Rows) -> Rows:
+        """Carry-propagate to exact 16-bit rows, value taken mod 2^(32L)
+        (the top carry is dropped — callers guarantee the true result is
+        in [0, 2^(32L)))."""
+        out = []
+        carry = jnp.zeros_like(t[0])
+        for k in range(len(t)):
+            v = t[k] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return out
+
+    def wide_sub2_exact(self, t2: Rows, t0: Rows, t1: Rows) -> Rows:
+        """t2 - t0 - t1 on exact 16-bit 2L rows, KNOWN non-negative
+        (the Karatsuba middle term).  Same offset trick as ``sub``:
+        per-limb add 2*0xFFFF (+2 at limb 0) so every limb stays
+        unsigned, i.e. compute t2 - t0 - t1 + 2*2^(32L); the ripple
+        then reduces mod 2^(32L), exact for results in [0, 2^(32L))."""
+        t = [
+            t2[k]
+            + np.uint32(2 * LIMB_MASK + (2 if k == 0 else 0))
+            - t0[k]
+            - t1[k]
+            for k in range(len(t2))
+        ]
+        return self._wide_ripple_mod(t)
+
+    def wide_sub_const(self, t0: Rows, t1: Rows, off_limbs) -> Rows:
+        """t0 - t1 + OFF on exact 16-bit 2L rows (OFF a precomputed
+        constant with OFF >= max possible t1 and OFF a multiple of p, so
+        the result is non-negative and congruent mod p).  Adds the
+        per-limb 0xFFFF (+1 at limb 0) = +2^(32L) offset; the ripple
+        drops it mod 2^(32L)."""
+        t = [
+            t0[k]
+            + np.uint32(int(off_limbs[k]) + LIMB_MASK + (1 if k == 0 else 0))
+            - t1[k]
+            for k in range(len(t0))
+        ]
+        return self._wide_ripple_mod(t)
+
+    def add_nored(self, a: Rows, b: Rows) -> Rows:
+        """a + b WITHOUT the conditional 2p subtraction: exact integer
+        sum < 4p on canonical 16-bit rows (4p <= R so no top carry).
+        The lazy Karatsuba path needs INTEGER identities — a mod-2p
+        wrap in the sum term would make t2 - t0 - t1 negative."""
+        return self._ripple([a[k] + b[k] for k in range(self.L)])
+
+    def redc(self, T: Rows) -> Rows:
+        """Montgomery reduction of an exact 16-bit 2L-row value < p*R:
+        out = T * R^-1 mod p in [0, 2p).  Same interleaved structure as
+        ``mul``'s REDC half; L^2 + L native multiplies."""
+        L = self.L
+        np0 = np.uint32(self.np_limbs[0])
+        T = list(T) + [jnp.zeros_like(T[0])]
+        for i in range(L):
+            ti = T[i]
+            T[i + 1] = T[i + 1] + (ti >> LIMB_BITS)
+            ti = ti & LIMB_MASK
+            mi = (ti * np0) & LIMB_MASK
+            for j in range(L):
+                pj = np.uint32(self.p_limbs[j])
+                prod = mi * pj
+                if j == 0:
+                    T[i + 1] = T[i + 1] + ((ti + (prod & LIMB_MASK)) >> LIMB_BITS)
+                    T[i + 1] = T[i + 1] + (prod >> LIMB_BITS)
+                else:
+                    T[i + j] = T[i + j] + (prod & LIMB_MASK)
+                    T[i + j + 1] = T[i + j + 1] + (prod >> LIMB_BITS)
+        out = []
+        carry = jnp.zeros_like(T[0])
+        for k in range(L):
+            v = T[L + k] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return out
+
     # ------------------------------------------------------------- add/sub --
     def _ripple(self, t: Rows) -> Rows:
         """Full carry propagation to canonical 16-bit rows (drops top carry

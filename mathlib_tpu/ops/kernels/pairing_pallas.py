@@ -47,6 +47,7 @@ rows [q*L, (q+1)*L).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
@@ -63,6 +64,9 @@ TILE = TILE_SUBLANES * 128
 # max base-field muls stacked into one RowCtx.mul: bounds the (8*k, 128)
 # accumulator rows so the unrolled CIOS fits VMEM alongside f/T state
 MUL_CHUNK = 12
+# lazy Fp2 reduction default; read ONCE at import (set MATHLIB_LAZY_F2=0
+# before importing to disable — not a per-trace knob)
+_LAZY_F2 = os.environ.get("MATHLIB_LAZY_F2", "1") != "0"
 # the Miller/pow kernels keep f (12L rows), T (6L), and a stacked-mul
 # accumulator live at once — beyond the 16 MiB default scoped-vmem cap
 # (measured 16.64M at L=24); v5e VMEM is far larger, so raise the limit
@@ -70,39 +74,123 @@ MUL_CHUNK = 12
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
+class _BatchOut:
+    """MulBatch result: plain stacked-mul outputs via [i] (the existing
+    resolver protocol), lazy-f2 outputs via .f2v[k]."""
+
+    def __init__(self, plain: List, f2v: List):
+        self.plain = plain
+        self.f2v = f2v
+
+    def __getitem__(self, i):
+        return self.plain[i]
+
+
 class MulBatch:
-    """Collect independent base-field muls; run them sublane-stacked."""
+    """Collect independent base-field muls; run them sublane-stacked.
+
+    Two entry points: ``push(a, b)`` queues one Montgomery multiply
+    (resolved by index), ``push_f2(a2, b2, off)`` queues a LAZY Fp2
+    Karatsuba multiply — its 3 schoolbook products run unreduced and
+    stacked, the Karatsuba combination happens in the 2L-limb product
+    domain, and only the 2 output coefficients are REDC'd (also
+    stacked): 5L^2 native multiplies per Fp2 mul instead of 6L^2
+    (gated by RowTower.lazy: needs 8p <= R and beta = -1)."""
 
     def __init__(self, F: RowCtx):
         self.F = F
         self.pairs: List = []
+        self.f2s: List = []
 
     def push(self, a, b) -> int:
         self.pairs.append((a, b))
         return len(self.pairs) - 1
 
-    def run(self) -> List:
-        F, L = self.F, self.F.L
+    def push_f2(self, a2, b2, off) -> int:
+        self.f2s.append((a2, b2, off))
+        return len(self.f2s) - 1
+
+    @staticmethod
+    def _stack1(F, op, items, nrows_in, nrows_out, chunk_cap):
+        """Run a unary row op over items, concatenated on sublanes."""
         outs: List = []
-        for lo in range(0, len(self.pairs), MUL_CHUNK):
-            chunk = self.pairs[lo : lo + MUL_CHUNK]
+        for lo in range(0, len(items), chunk_cap):
+            chunk = items[lo : lo + chunk_cap]
             if len(chunk) == 1:
-                outs.append(F.mul(chunk[0][0], chunk[0][1]))
+                outs.append(op(chunk[0]))
                 continue
             A = [
+                jnp.concatenate([t[i] for t in chunk], axis=0)
+                for i in range(nrows_in)
+            ]
+            O = op(A)
+            ts = chunk[0][0].shape[0]
+            for k in range(len(chunk)):
+                outs.append(
+                    [O[i][k * ts : (k + 1) * ts] for i in range(nrows_out)]
+                )
+        return outs
+
+    @staticmethod
+    def _stack(F, op, pairs, nrows_out, chunk_cap):
+        """Run op (2-arg row fn) over pairs, concatenated on sublanes."""
+        L = F.L
+        outs: List = []
+        for lo in range(0, len(pairs), chunk_cap):
+            chunk = pairs[lo : lo + chunk_cap]
+            if len(chunk) == 1:
+                outs.append(op(chunk[0][0], chunk[0][1]))
+                continue
+            nin = len(chunk[0][0])
+            A = [
                 jnp.concatenate([p[0][i] for p in chunk], axis=0)
-                for i in range(L)
+                for i in range(nin)
             ]
             B = [
                 jnp.concatenate([p[1][i] for p in chunk], axis=0)
-                for i in range(L)
+                for i in range(len(chunk[0][1]))
             ]
-            O = F.mul(A, B)
+            O = op(A, B)
             ts = chunk[0][0][0].shape[0]  # sublanes per operand
             for k in range(len(chunk)):
-                outs.append([O[i][k * ts : (k + 1) * ts] for i in range(L)])
-        self.pairs = []
+                outs.append(
+                    [O[i][k * ts : (k + 1) * ts] for i in range(nrows_out)]
+                )
         return outs
+
+    def run(self) -> "_BatchOut":
+        F, L = self.F, self.F.L
+        plain = self._stack(F, F.mul, self.pairs, L, MUL_CHUNK)
+
+        f2v: List = []
+        if self.f2s:
+            # stage 1: all 3k schoolbook products, stacked, unreduced
+            prod_pairs = []
+            for (a0, a1), (b0, b1), _off in self.f2s:
+                prod_pairs.append((a0, b0))
+                prod_pairs.append((a1, b1))
+                # integer (non-reducing) Karatsuba sums: F.add's
+                # conditional -2p would break t2 - t0 - t1 >= 0
+                prod_pairs.append((F.add_nored(a0, a1), F.add_nored(b0, b1)))
+            wides = self._stack(
+                F, F.mul_wide, prod_pairs, 2 * L, max(2, MUL_CHUNK // 2)
+            )
+            # stage 2: Karatsuba combination in the product domain
+            redc_in = []
+            for k, (_a2, _b2, off) in enumerate(self.f2s):
+                t0, t1, t2 = wides[3 * k : 3 * k + 3]
+                redc_in.append(F.wide_sub_const(t0, t1, off))
+                redc_in.append(F.wide_sub2_exact(t2, t0, t1))
+            # stage 3: all 2k REDCs, stacked
+            reds = self._stack1(
+                F, F.redc, redc_in, 2 * L, L, max(2, MUL_CHUNK // 2)
+            )
+            f2v = [
+                (reds[2 * k], reds[2 * k + 1]) for k in range(len(self.f2s))
+            ]
+        self.pairs = []
+        self.f2s = []
+        return _BatchOut(plain, f2v)
 
 
 class RowTower:
@@ -119,6 +207,17 @@ class RowTower:
         self.one_limbs = tuple(
             (one >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
         )
+        # lazy Fp2 reduction (MulBatch.push_f2): sound when the combined
+        # product-domain values stay < p*R, i.e. 8p <= R, with beta = -1
+        # (BLS12-381: R/p ~ 8.06; BN254's R/p ~ 5.3 stays eager).
+        # _LAZY_F2 is read at import (process-wide; not a trace-time
+        # knob, so jit cache keys are unaffected).
+        self.lazy = beta_neg == 1 and 8 * p <= R and _LAZY_F2
+        if self.lazy:
+            off = 4 * p * p  # >= max t1 (< 4p^2) and a multiple of p
+            self.off_4p2 = tuple(
+                (off >> (LIMB_BITS * k)) & LIMB_MASK for k in range(2 * L)
+            )
 
     # ---------------------------------------------------------- fp helpers --
     def zero_rows(self, like):
@@ -162,8 +261,19 @@ class RowTower:
 
     # ---- queued f2 multiplies (resolver style; run via MulBatch) -----------
     def q_mul(self, mb: MulBatch, a, b):
-        """Queue a Karatsuba f2 mul; returns resolver(outs) -> f2."""
+        """Queue a Karatsuba f2 mul; returns resolver(outs) -> f2.
+
+        On lazy towers the whole multiply routes through push_f2 (3
+        unreduced schoolbook products + 2 REDCs instead of 3 full
+        Montgomery muls — ~17% fewer native multiplies)."""
         F, n = self.F, self.n
+        if self.lazy:
+            k = mb.push_f2(a, b, self.off_4p2)
+
+            def res_lazy(o):
+                return o.f2v[k]
+
+            return res_lazy
         i0 = mb.push(a[0], b[0])
         i1 = mb.push(a[1], b[1])
         i2 = mb.push(F.add(a[0], a[1]), F.add(b[0], b[1]))

@@ -767,7 +767,7 @@ def test_pairing_prod_seg_kernel_body(name, seg, numpy_kernel_env_full):
             for (c0, c1) in (ctx.cx1, ctx.cy1, ctx.cx2, ctx.cy2)
         )
 
-    TS = max(1, seg // 128)          # sublane rows (ts) of the one tile
+    TS = max(1, 2 * seg // 128)      # sublane rows: room for TWO groups
     B = 128
     nlanes = 2 * seg                 # two real groups, rest pad
     g1s, g2s = [], []
