@@ -218,6 +218,19 @@ class RowCtx:
         ]
         return self._wide_ripple_mod(t)
 
+    def wide_small(self, t: Rows, n: int) -> Rows:
+        """t * n for small n on exact 16-bit wide rows (add chain with a
+        ripple per step; caller guarantees n*t < 2^(16*len(t)))."""
+        assert 0 < n < 1 << 8
+        acc = t
+        for bit in bin(n)[3:]:
+            acc = self._wide_ripple_mod([x + x for x in acc])
+            if bit == "1":
+                acc = self._wide_ripple_mod(
+                    [x + y for x, y in zip(acc, t)]
+                )
+        return acc
+
     def add_nored(self, a: Rows, b: Rows) -> Rows:
         """a + b WITHOUT the conditional 2p subtraction: exact integer
         sum < 4p on canonical 16-bit rows (4p <= R so no top carry).

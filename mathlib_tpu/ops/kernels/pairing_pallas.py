@@ -106,8 +106,8 @@ class MulBatch:
         self.pairs.append((a, b))
         return len(self.pairs) - 1
 
-    def push_f2(self, a2, b2, off) -> int:
-        self.f2s.append((a2, b2, off))
+    def push_f2(self, a2, b2, off, n: int = 1) -> int:
+        self.f2s.append((a2, b2, off, n))
         return len(self.f2s) - 1
 
     @staticmethod
@@ -166,7 +166,7 @@ class MulBatch:
         if self.f2s:
             # stage 1: all 3k schoolbook products, stacked, unreduced
             prod_pairs = []
-            for (a0, a1), (b0, b1), _off in self.f2s:
+            for (a0, a1), (b0, b1), _off, _n in self.f2s:
                 prod_pairs.append((a0, b0))
                 prod_pairs.append((a1, b1))
                 # integer (non-reducing) Karatsuba sums: F.add's
@@ -177,9 +177,10 @@ class MulBatch:
             )
             # stage 2: Karatsuba combination in the product domain
             redc_in = []
-            for k, (_a2, _b2, off) in enumerate(self.f2s):
+            for k, (_a2, _b2, off, n) in enumerate(self.f2s):
                 t0, t1, t2 = wides[3 * k : 3 * k + 3]
-                redc_in.append(F.wide_sub_const(t0, t1, off))
+                nt1 = t1 if n == 1 else F.wide_small(t1, n)
+                redc_in.append(F.wide_sub_const(t0, nt1, off))
                 redc_in.append(F.wide_sub2_exact(t2, t0, t1))
             # stage 3: all 2k REDCs, stacked
             reds = self._stack1(
@@ -208,13 +209,14 @@ class RowTower:
             (one >> (LIMB_BITS * k)) & LIMB_MASK for k in range(L)
         )
         # lazy Fp2 reduction (MulBatch.push_f2): sound when the combined
-        # product-domain values stay < p*R, i.e. 8p <= R, with beta = -1
-        # (BLS12-381: R/p ~ 8.06; BN254's R/p ~ 5.3 stays eager).
-        # _LAZY_F2 is read at import (process-wide; not a trace-time
-        # knob, so jit cache keys are unaffected).
-        self.lazy = beta_neg == 1 and 8 * p <= R and _LAZY_F2
+        # product-domain values stay < p*R — c0 = t0 - n*t1 + 4n*p^2 is
+        # < 4(1+n)p^2, so the gate is 4(1+n)p <= R (BLS12-381 n=1:
+        # R/p ~ 9.8 ok; BLS12-377 n=5: R/p ~ 152 ok; BN254 R/p ~ 5.3
+        # stays eager).  _LAZY_F2 is read at import (process-wide; not a
+        # trace-time knob, so jit cache keys are unaffected).
+        self.lazy = 4 * (1 + beta_neg) * p <= R and _LAZY_F2
         if self.lazy:
-            off = 4 * p * p  # >= max t1 (< 4p^2) and a multiple of p
+            off = 4 * beta_neg * p * p  # >= max n*t1, multiple of p
             self.off_4p2 = tuple(
                 (off >> (LIMB_BITS * k)) & LIMB_MASK for k in range(2 * L)
             )
@@ -268,7 +270,7 @@ class RowTower:
         Montgomery muls — ~17% fewer native multiplies)."""
         F, n = self.F, self.n
         if self.lazy:
-            k = mb.push_f2(a, b, self.off_4p2)
+            k = mb.push_f2(a, b, self.off_4p2, n)
 
             def res_lazy(o):
                 return o.f2v[k]

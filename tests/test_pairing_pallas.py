@@ -682,7 +682,18 @@ def test_pairing_check_kernel_body(name, numpy_kernel_env_full):
     assert run([(P, Q), (P, Q)]) is False
 
 
-@pytest.mark.parametrize("name", ["BLS12_381", "BN254"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "BLS12_381",
+        "BN254",
+        # slow extras: BLS12-377 exercises the lazy-Fp2 path with
+        # beta = -5 (wide small-multiple), FP256BN the BN tail on the
+        # second BN-family configuration
+        pytest.param("BLS12_377", marks=pytest.mark.slow),
+        pytest.param("FP256BN", marks=pytest.mark.slow),
+    ],
+)
 def test_pairing_prod_kernel_body(name, numpy_kernel_env_full):
     """Split-mode stage 1 (_pairing_prod_kernel): Miller + mask + rotation
     product WITHOUT final exp.  The product has per-step scale freedom vs
