@@ -517,3 +517,63 @@ def test_g2_smul_chain_kernel_body(numpy_g2_kernel_env, monkeypatch):
     out = np.zeros_like(q)
     g2p_mod2._g2_smul_static_kernel(F, one_limbs, len(bits), _R(bits), _R(q), _R(out))
     assert dec_pt(out) == eng.g2.mul(G, h)
+
+
+@pytest.mark.parametrize("name", ["BLS12_381", "BLS12_377", "BN254", "FP256BN"])
+def test_rowctx_wide_ops(name, numpy_kernel_env):
+    """Lazy-domain primitives (round 5): mul_wide / redc / wide_sub_const /
+    wide_sub2_exact / wide_small / add_nored vs exact integer arithmetic.
+
+    Exercises the exact bound pattern of MulBatch.push_f2: operands in
+    [0, 2p), Karatsuba sums in [0, 4p), c0 = t0 - n*t1 + 4n*p^2 and the
+    middle term t2 - t0 - t1, both REDC'd to [0, 2p)."""
+    spec = get_spec(name)
+    p = spec.p
+    L = get_fp_ctx(p, "wide%d" % (p % 65521)).L
+    ctx = RowCtx(p, L)
+    R = 1 << (16 * L)
+    R_inv = pow(R, p - 2, p)
+    rng = random.Random(p % (2**31) ^ 0x5A)
+    va = [0, 1, p, 2 * p - 1] + [rng.randrange(2 * p) for _ in range(8)]
+    vb = [2 * p - 1, p, 1, 0] + [rng.randrange(2 * p) for _ in range(8)]
+    a, b = _rows(va, L), _rows(vb, L)
+
+    def _unwide(rows):
+        out = []
+        arr = np.stack([r[0] for r in rows], axis=0)
+        for j in range(arr.shape[-1]):
+            out.append(sum(int(arr[k, j]) << (16 * k) for k in range(len(rows))))
+        return out
+
+    # mul_wide: exact integer product (operands up to < 4p via add_nored)
+    w = ctx.mul_wide(a, b)
+    for g, x, y in zip(_unwide(w), va, vb):
+        assert g == x * y
+    s = ctx.add_nored(a, b)
+    for g, x, y in zip(_unrows(s), va, vb):
+        assert g % p == (x + y) % p  # value is the EXACT sum < 4p
+    w2 = ctx.mul_wide(s, s)
+    for g, x, y in zip(_unwide(w2), va, vb):
+        assert g == (x + y) * (x + y)
+
+    # redc on the raw product: Montgomery semantics, [0, 2p)
+    r = ctx.redc(w)
+    for g, x, y in zip(_unrows(r), va, vb):
+        assert g % p == x * y * R_inv % p and g < 2 * p
+
+    # the push_f2 combination pattern, n covering beta in use (1 and 5)
+    for n in (1, 5):
+        if 4 * (1 + n) * p > R:
+            continue
+        off = 4 * n * p * p
+        off_limbs = tuple((off >> (16 * k)) & 0xFFFF for k in range(2 * L))
+        t0 = ctx.mul_wide(a, a)
+        t1 = ctx.mul_wide(b, b)
+        t2 = ctx.mul_wide(ctx.add_nored(a, b), ctx.add_nored(a, b))
+        nt1 = t1 if n == 1 else ctx.wide_small(t1, n)
+        c0 = ctx.redc(ctx.wide_sub_const(t0, nt1, off_limbs))
+        c1 = ctx.redc(ctx.wide_sub2_exact(t2, t0, t1))
+        for g, x, y in zip(_unrows(c0), va, vb):
+            assert g % p == (x * x - n * y * y) * R_inv % p and g < 2 * p
+        for g, x, y in zip(_unrows(c1), va, vb):
+            assert g % p == 2 * x * y * R_inv % p and g < 2 * p
