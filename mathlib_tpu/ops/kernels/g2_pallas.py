@@ -46,6 +46,17 @@ class Row2Ctx:
         assert all(0 < c < 256 or c == 0 for c in b3) and any(b3)
         self.b3 = b3
         self.mm = mm
+        # lazy Fp2 reduction (same bound story as the pairing tower,
+        # beta = -1 here by construction): 5L^2 multiplies per Fp2 mul
+        # instead of 6L^2 when 8p <= R
+        from .pairing_pallas import _LAZY_F2
+
+        self.lazy = 8 * p <= (1 << (16 * L)) and _LAZY_F2
+        if self.lazy:
+            off = 4 * p * p
+            self.off_4p2 = tuple(
+                (off >> (16 * k)) & 0xFFFF for k in range(2 * L)
+            )
 
     # an Fp2 element is (rows_c0, rows_c1)
     def add(self, a, b):
@@ -57,8 +68,18 @@ class Row2Ctx:
         return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
 
     def mul_many(self, pairs):
-        """A level of independent Fp2 products (Karatsuba, u^2 = -1)."""
+        """A level of independent Fp2 products (Karatsuba, u^2 = -1).
+
+        Lazy towers route through MulBatch.push_f2 (3 unreduced stacked
+        products + 2 stacked REDCs per Fp2 mul)."""
         F = self.F
+        if self.lazy:
+            from .pairing_pallas import MulBatch
+
+            mb = MulBatch(F)
+            ks = [mb.push_f2(a, b, self.off_4p2) for a, b in pairs]
+            o = mb.run()
+            return [o.f2v[k] for k in ks]
         base = []
         for a, b in pairs:
             base.append((a[0], b[0]))

@@ -266,9 +266,14 @@ def test_g1_add_pallas_plumbing():
 @pytest.fixture
 def numpy_g2_kernel_env(monkeypatch):
     import mathlib_tpu.ops.kernels.g2_pallas as g2p_mod
+    import mathlib_tpu.ops.kernels.pairing_pallas as pp_mod
 
     monkeypatch.setattr(fp_rows_mod, "jnp", np)
     monkeypatch.setattr(g2p_mod, "jnp", np)
+    # the lazy Fp2 path routes through pairing_pallas.MulBatch, whose
+    # concatenates must also run on numpy here (a real-jnp MulBatch on
+    # numpy rows dispatches eagerly through JAX — hours, not seconds)
+    monkeypatch.setattr(pp_mod, "jnp", np)
     return g2p_mod
 
 
