@@ -64,9 +64,14 @@ TILE = TILE_SUBLANES * 128
 # max base-field muls stacked into one RowCtx.mul: bounds the (8*k, 128)
 # accumulator rows so the unrolled CIOS fits VMEM alongside f/T state
 MUL_CHUNK = 12
-# lazy Fp2 reduction default; read ONCE at import (set MATHLIB_LAZY_F2=0
-# before importing to disable — not a per-trace knob)
-_LAZY_F2 = os.environ.get("MATHLIB_LAZY_F2", "1") != "0"
+# Lazy Fp2 reduction (round 5): ~17% fewer native multiplies per Fp2
+# Karatsuba multiply, differentially verified on numpy rows for all four
+# curves — but its MOSAIC LOWERING never ran on hardware this round (the
+# serving stack's compile endpoint died mid-round), so the default stays
+# OFF: the published pairing numbers reproduce bit-for-bit on the eager
+# path.  Set MATHLIB_LAZY_F2=1 before import to enable; read ONCE at
+# import (process-wide, not a per-trace knob).
+_LAZY_F2 = os.environ.get("MATHLIB_LAZY_F2", "0") == "1"
 # the Miller/pow kernels keep f (12L rows), T (6L), and a stacked-mul
 # accumulator live at once — beyond the 16 MiB default scoped-vmem cap
 # (measured 16.64M at L=24); v5e VMEM is far larger, so raise the limit

@@ -843,3 +843,39 @@ def test_pairing_prod_seg_kernel_body(name, seg, numpy_kernel_env_full):
     want1 = ht.f12_pow(eng.pairing(P, Q), seg)
     assert got1 == want1
     assert got1 != ht.F12_ONE
+
+
+@pytest.mark.parametrize("name", ["BLS12_381", "BLS12_377", "FP256BN"])
+def test_f12_ops_lazy_vs_host(name, numpy_kernel_env, monkeypatch):
+    """The LAZY Fp2 path (MulBatch.push_f2) through the tower ops vs the
+    exact host tower — explicit coverage independent of the
+    MATHLIB_LAZY_F2 default (OFF until validated on hardware)."""
+    monkeypatch.setattr(pp_mod, "_LAZY_F2", True)
+    spec = get_spec(name)
+    p, L, bn, xi0, twist = _cfg(spec)
+    tw = RowTower(p, L, bn, xi0, twist)
+    assert tw.lazy, "gate should admit this curve"
+    t = get_tower(spec)
+    rng = random.Random(11)
+    fa = [_rand_f12(t, rng) for _ in range(3)]
+    fb = [_rand_f12(t, rng) for _ in range(3)]
+    ra, rb = _enc12(fa, p, L), _enc12(fb, p, L)
+    assert _dec12(tw.f12_mul(ra, rb), p, L) == [
+        t.f12_mul(x, y) for x, y in zip(fa, fb)
+    ]
+    assert _dec12(tw.f12_sqr(ra), p, L) == [t.f12_sqr(x) for x in fa]
+    # dbl/add step through the lazy tower: full line+point agreement is
+    # covered curve-by-curve by test_miller_steps_vs_host when the env
+    # flag is on; here pin one Fp2 mul chain shape (sparse line mul)
+    A = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    B0 = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    B1 = [(rng.randrange(p), rng.randrange(p)) for _ in range(3)]
+    got = _dec12(
+        tw.f12_sparse_mul(ra, _enc2(A, p, L), _enc2(B0, p, L), _enc2(B1, p, L)),
+        p, L,
+    )
+    want = [
+        t.f12_mul(x, _line12(t, spec, a, b0, b1))
+        for x, a, b0, b1 in zip(fa, A, B0, B1)
+    ]
+    assert got == want
