@@ -48,16 +48,29 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 os.path.exists(_SRC)
                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
             ):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
-                    check=True,
-                    capture_output=True,
-                    timeout=300,
-                )
-                os.replace(_SO + ".tmp", _SO)
+                # per-PID tmp: concurrent builders (pytest-xdist workers)
+                # must not clobber each other's output mid-link — the
+                # os.replace of a fully linked .so is atomic either way
+                tmp = f"{_SO}.tmp.{os.getpid()}"
+                try:
+                    subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                        check=True,
+                        capture_output=True,
+                        timeout=300,
+                    )
+                    os.replace(tmp, _SO)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
             lib = ctypes.CDLL(_SO)
         except Exception:
-            return None
+            # a concurrent builder may have just replaced the .so under
+            # us; one retry on the (now complete) artifact
+            try:
+                lib = ctypes.CDLL(_SO)
+            except Exception:
+                return None
         lib.mlt_ctx_new.restype = ctypes.c_int32
         lib.mlt_ctx_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         for name, extra in [
