@@ -457,19 +457,42 @@ def hash_to_g1_batch(spec: CurveSpec, msgs, dst: bytes, sign: str = "parity",
     L = 64 if spec.fp_bytes == 48 else 48
     mlen = _uniform_len(msgs)
     if hash_name == "sha256" and mlen >= 0:
-        from .xmd import hash_to_field_device, pack_b0_blocks
+        from .xmd import (
+            b0_blocks_device,
+            b0_template,
+            hash_to_field_device,
+            pack_b0_blocks,
+            pack_msg_words,
+        )
 
-        blocks0 = pack_b0_blocks(msgs, dst, 2 * L)
-        key = (spec.name, "g1xmd", mlen, len(msgs), sign, dst, _env_key())
+        word_path = mlen > 0 and mlen % 4 == 0
+        key = (spec.name, "g1xmd", mlen, len(msgs), sign, dst, word_path,
+               _env_key())
         fn = _JIT_CACHE.get(key)
-        if fn is None:
-            def run(blk):
-                u0, u1 = hash_to_field_device(ctx.fp, blk, dst, 2, L)
-                return ctx.hash_to_g1(u0, u1, sign)
+        if word_path:
+            # send ONLY the message words; the constant rest of the b_0
+            # preimage is assembled on device (~6x less h2d traffic)
+            inp = pack_msg_words(msgs, mlen)
+            if fn is None:
+                tmpl = b0_template(mlen, dst, 2 * L)
 
-            fn = jax.jit(run)
-            _JIT_CACHE[key] = fn
-        return fn(blocks0)
+                def run(w):
+                    blk = b0_blocks_device(w, tmpl, mlen)
+                    u0, u1 = hash_to_field_device(ctx.fp, blk, dst, 2, L)
+                    return ctx.hash_to_g1(u0, u1, sign)
+
+                fn = jax.jit(run)
+                _JIT_CACHE[key] = fn
+        else:
+            inp = pack_b0_blocks(msgs, dst, 2 * L)
+            if fn is None:
+                def run(blk):
+                    u0, u1 = hash_to_field_device(ctx.fp, blk, dst, 2, L)
+                    return ctx.hash_to_g1(u0, u1, sign)
+
+                fn = jax.jit(run)
+                _JIT_CACHE[key] = fn
+        return fn(inp)
 
     from ..host.hash_to_curve import hash_to_field_fp
 
@@ -533,21 +556,39 @@ def hash_to_g2_batch(spec: CurveSpec, msgs, dst: bytes,
     L = 64 if spec.fp_bytes == 48 else 48
     mlen = _uniform_len(msgs)
     if hash_name == "sha256" and mlen >= 0:
-        from .xmd import hash_to_field_device, pack_b0_blocks
+        from .xmd import (
+            b0_blocks_device,
+            b0_template,
+            hash_to_field_device,
+            pack_b0_blocks,
+            pack_msg_words,
+        )
 
-        blocks0 = pack_b0_blocks(msgs, dst, 4 * L)
-        key = (spec.name, "g2xmd", mlen, len(msgs), dst, _env_key())
+        word_path = mlen > 0 and mlen % 4 == 0
+        key = (spec.name, "g2xmd", mlen, len(msgs), dst, word_path,
+               _env_key())
         fn = _JIT_CACHE.get(key)
-        if fn is None:
-            def run(blk):
-                es = hash_to_field_device(ctx.tw.fp, blk, dst, 4, L)
-                u0 = jnp.stack([es[0], es[1]], axis=0)
-                u1 = jnp.stack([es[2], es[3]], axis=0)
-                return ctx.hash_to_g2(u0, u1)
 
-            fn = jax.jit(run)
-            _JIT_CACHE[key] = fn
-        return fn(blocks0)
+        def pipeline(blk):
+            es = hash_to_field_device(ctx.tw.fp, blk, dst, 4, L)
+            u0 = jnp.stack([es[0], es[1]], axis=0)
+            u1 = jnp.stack([es[2], es[3]], axis=0)
+            return ctx.hash_to_g2(u0, u1)
+
+        if word_path:
+            inp = pack_msg_words(msgs, mlen)
+            if fn is None:
+                tmpl = b0_template(mlen, dst, 4 * L)
+                fn = jax.jit(
+                    lambda w: pipeline(b0_blocks_device(w, tmpl, mlen))
+                )
+                _JIT_CACHE[key] = fn
+        else:
+            inp = pack_b0_blocks(msgs, dst, 4 * L)
+            if fn is None:
+                fn = jax.jit(pipeline)
+                _JIT_CACHE[key] = fn
+        return fn(inp)
 
     from ..host.hash_to_curve import hash_to_field_fp2
     us = [hash_to_field_fp2(m, dst, spec.p, 2, L, hash_name) for m in msgs]

@@ -138,6 +138,40 @@ def pack_b0_blocks(msgs: Sequence[bytes], dst: bytes, out_len: int) -> np.ndarra
     return _bytes_to_words(buf)
 
 
+def pack_msg_words(msgs: Sequence[bytes], mlen: int) -> np.ndarray:
+    """(mlen//4, N) u32 BE words of the raw messages (mlen % 4 == 0).
+
+    Everything in the b_0 preimage EXCEPT the message bytes is constant
+    across the batch (Z_pad zeros, l_i_b, DST', SHA padding), so only
+    these words need to cross the host->device tunnel — ~6x fewer bytes
+    than the packed blocks for 32-byte messages (measured fixed-cost
+    lever, round 5)."""
+    n = len(msgs)
+    return (
+        np.frombuffer(b"".join(msgs), dtype=">u4")
+        .reshape(n, mlen // 4)
+        .T.astype(np.uint32)
+    )
+
+
+def b0_template(mlen: int, dst: bytes, out_len: int) -> np.ndarray:
+    """(nblk*16,) u32 constant words of the b_0 preimage for any message
+    of length mlen: the message slot (words 16 .. 16+mlen//4) is zero."""
+    return pack_b0_blocks([bytes(mlen)], dst, out_len)[:, :, 0].reshape(-1)
+
+
+def b0_blocks_device(msg_w: Array, tmpl: np.ndarray, mlen: int) -> Array:
+    """Assemble (nblk, 16, N) b_0 preimage blocks ON DEVICE from the
+    per-message words + the constant template (message starts at byte 64
+    = word 16; mlen % 4 == 0 keeps the slot word-aligned)."""
+    w = mlen // 4
+    n = msg_w.shape[-1]
+    t = jnp.asarray(tmpl)
+    pre = jnp.broadcast_to(t[:16, None], (16, n))
+    post = jnp.broadcast_to(t[16 + w :, None], (t.shape[0] - 16 - w, n))
+    return jnp.concatenate([pre, msg_w, post], axis=0).reshape(-1, 16, n)
+
+
 def _bi_template(dst: bytes, i: int) -> np.ndarray:
     """Constant words of the b_i preimage block(s): 32 zero bytes (the
     digest slot, filled on device) || i || DST' || SHA padding.

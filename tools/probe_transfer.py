@@ -61,13 +61,26 @@ def main():
         _ = np.asarray(g(jnp.asarray(x)))
         row(f"h2d {kb:5d} KiB + RTT", med(lambda x=x: np.asarray(g(jax.device_put(x, dev)))))
 
-    # output fetch: device -> host full array
+    # output fetch: device -> host full array.  A FRESH device array per
+    # rep (jax.Array caches its host copy after the first np.asarray, so
+    # re-fetching the same array times a memcpy, not the tunnel); the
+    # tiny-slice fetch is the completion barrier, then the full fetch is
+    # timed alone.
     for kb in (128, 512, 1152, 2304):
         n = kb * 256
-        fz = jax.jit(lambda: jnp.arange(n, dtype=jnp.uint32))
-        y = fz()
-        _ = np.asarray(y)
-        row(f"d2h {kb:5d} KiB full fetch", med(lambda y=y: np.asarray(y)))
+        fz = jax.jit(lambda s: jnp.full((n,), s, jnp.uint32))
+
+        def one_fetch(j, _box=[0]):
+            _box[0] += 1
+            y = fz(jnp.uint32(_box[0]))
+            np.asarray(y.ravel()[:1])  # barrier (tiny separate array)
+            t0 = time.perf_counter()
+            np.asarray(y)
+            return time.perf_counter() - t0
+
+        one_fetch(0)
+        ts = [one_fetch(j) for j in range(8)]
+        row(f"d2h {kb:5d} KiB full fetch", float(np.median(ts)) * 1e3)
 
     if args.json:
         with open(args.json, "w") as f:
